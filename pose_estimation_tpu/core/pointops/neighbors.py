@@ -1,0 +1,137 @@
+"""Point-cloud neighborhood ops (XLA path).
+
+Replaces the reference's brute-force torch ops (lib/network/point/gcn3d.py:
+15-57: get_neighbor_index / get_nearest_index / indexing_neighbor) and the
+pykeops runtime-compiled CUDA KNN (train.py:123-127, lib/network/loss.py:34).
+
+Everything here is batched, static-shape, and jit/vmap/grad-safe. The
+pairwise-distance Gram matmul is the hot op and is dispatched to the MXU by
+XLA; for point counts where the N^2 matrix doesn't fit comfortably in VMEM a
+tiled Pallas kernel (pose_estimation_tpu.ops.pallas_pointops) computes the
+same results without materializing N^2 in HBM.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pose_estimation_tpu.core.precision import einsum as _einsum
+
+
+def pairwise_sqdist(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Squared euclidean distances [..., n, m] between [..., n, d], [..., m, d].
+
+    Same expansion as the reference (gcn3d.py:21-23): |a|^2 + |b|^2 - 2 a.b.
+    Uses HIGHEST matmul precision — argmin ordering is sensitive to the
+    default bf16 matmul lowering.
+    """
+    inner = _einsum("...nd,...md->...nm", a, b)
+    a2 = jnp.sum(a * a, axis=-1)
+    b2 = jnp.sum(b * b, axis=-1)
+    return a2[..., :, None] + b2[..., None, :] - 2.0 * inner
+
+
+def knn_indices(vertices: jax.Array, k: int, exclude_self: bool = True) -> jax.Array:
+    """K nearest neighbors of each point within the same cloud.
+
+    vertices: [..., n, 3] -> indices [..., n, k].
+    Parity: gcn3d.get_neighbor_index (topk(k+1) then drop column 0 == self).
+    """
+    d = pairwise_sqdist(vertices, vertices)
+    kk = k + 1 if exclude_self else k
+    _, idx = jax.lax.top_k(-d, kk)
+    return idx[..., 1:] if exclude_self else idx
+
+
+def nearest_index(target: jax.Array, source: jax.Array) -> jax.Array:
+    """Index into `source` of the nearest source point for each target point.
+
+    target: [..., n1, 3], source: [..., n2, 3] -> [..., n1] int32.
+    Parity: gcn3d.get_nearest_index (returns [..., n1, 1]; we drop the 1).
+    """
+    d = pairwise_sqdist(target, source)
+    return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+
+def min_dists(target: jax.Array, source: jax.Array) -> jax.Array:
+    """Distance from each target point to its nearest source point [..., n1].
+
+    The core of ADD-S (lib/utils/metric.py:27-31) and the symmetric-object
+    closest-point loss (lib/network/loss.py:34-36) — here fused so the N^2
+    matrix never leaves registers/VMEM under XLA fusion.
+    """
+    d = pairwise_sqdist(target, source)
+    return jnp.sqrt(jnp.maximum(jnp.min(d, axis=-1), 0.0))
+
+
+def gather_neighbors(features: jax.Array, index: jax.Array) -> jax.Array:
+    """Gather per-point neighbor features.
+
+    features: [..., n, c], index: [..., m, k] -> [..., m, k, c].
+    Parity: gcn3d.indexing_neighbor.
+    """
+    return jnp.take_along_axis(
+        features[..., None, :], index[..., None], axis=-3
+    )
+
+
+def neighbor_directions(vertices: jax.Array, index: jax.Array,
+                        eps: float = 1e-12) -> jax.Array:
+    """Unit direction vectors from each point to its k neighbors.
+
+    [..., n, 3], [..., n, k] -> [..., n, k, 3].
+    Parity: gcn3d.get_neighbor_direction_norm (F.normalize semantics:
+    zero vectors stay zero).
+    """
+    neigh = gather_neighbors(vertices, index)
+    d = neigh - vertices[..., :, None, :]
+    n = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return d / jnp.maximum(n, eps)
+
+
+def farthest_point_sampling(points: jax.Array, num_samples: int,
+                            start_index: int = 0) -> jax.Array:
+    """Deterministic FPS: indices [..., num_samples] of a maximally-spread
+    subset. Replaces the mesh FPS samplers (tools/script/sample_model.py:33-88,
+    version/transparent/lib/utils.py:158-201) as an on-device op.
+    """
+    def single(pts):
+        n = pts.shape[0]
+        d2 = jnp.full((n,), jnp.inf, pts.dtype)
+
+        def body(carry, _):
+            d2, last = carry
+            dist = jnp.sum((pts - pts[last]) ** 2, axis=-1)
+            d2 = jnp.minimum(d2, dist)
+            nxt = jnp.argmax(d2).astype(jnp.int32)
+            return (d2, nxt), last
+
+        (_, _), idx = jax.lax.scan(
+            body, (d2, jnp.int32(start_index)), None, length=num_samples)
+        return idx
+
+    batch_dims = points.ndim - 2
+    fn = single
+    for _ in range(batch_dims):
+        fn = jax.vmap(fn)
+    return fn(points)
+
+
+def random_subsample_pool(key: jax.Array, vertices: jax.Array,
+                          features: jax.Array, pool_num: int,
+                          neighbor_num: int = 4):
+    """3D-GCN Pool_layer: neighbor max-pool then random subsample.
+
+    vertices [..., n, d_v], features [..., n, c] -> ([..., pool_num, d_v],
+    [..., pool_num, c]). Parity: gcn3d.Pool_layer (gcn3d.py:218-242) — the
+    reference uses one torch.randperm shared across the batch; we mirror that
+    (a single permutation per call) so behavior matches and shapes stay static.
+    Note the reference computes the KNN on vertices[..., :3] only.
+    """
+    n = vertices.shape[-2]
+    idx = knn_indices(vertices[..., :3], neighbor_num, exclude_self=True)
+    pooled = jnp.max(gather_neighbors(features, idx), axis=-2)
+    sample = jax.random.permutation(key, n)[:pool_num]
+    return (jnp.take(vertices, sample, axis=-2),
+            jnp.take(pooled, sample, axis=-2))
