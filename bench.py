@@ -1,0 +1,90 @@
+"""End-to-end inference benchmark: RGB-D frames/sec/chip, image -> pose.
+
+Measures the full eval path on the flagship KRRN config — crop preprocess
+batch on device, KRRN forward (bf16), xyz denormalize, PnP-RANSAC rotation
+recovery, ADD metric — as ONE jit program, batched. This is the pipeline
+the reference runs at ~11.6 fps bs=1 with CPU OpenCV hops
+(BASELINE.md); the driver-set target is >= 500 fps/chip.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_FPS = 11.6  # reference eval throughput (BASELINE.md)
+
+
+def main():
+    from pose_estimation_tpu.configs import schema
+    from pose_estimation_tpu.models.krrn import KRRN
+    from pose_estimation_tpu.data.batching import make_batch
+    from pose_estimation_tpu.data.synthetic import SyntheticPoseDataset
+    from pose_estimation_tpu.data.pipeline import denormalize_xyz
+    from pose_estimation_tpu.core.solvers.pnp import pnp_ransac
+    from pose_estimation_tpu.metrics.metric import add_metric
+
+    cfg = schema.Config()
+    batch_size = 32
+    num_pnp_points = 256
+
+    model = KRRN(cfg=cfg, dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+
+    ds = SyntheticPoseDataset(num_objects=4, frames_per_object=8,
+                              num_regions=cfg.data.num_regions)
+    idx = [i % len(ds) for i in range(batch_size)]
+    batch = make_batch(ds, idx, key, cfg.data.input_size,
+                       cfg.data.num_points)
+
+    variables = model.init({"params": key}, batch["img"], batch["cloud"],
+                           batch["choose"], batch["cls"], train=False)
+    params = variables["params"]
+
+    @jax.jit
+    def infer(params, batch, key):
+        out = model.apply({"params": params}, batch["img"], batch["cloud"],
+                          batch["choose"], batch["cls"], train=False,
+                          opt_pose=True)
+        n = batch["choose"].shape[1]
+        stride = max(n // num_pnp_points, 1)
+        sel = jnp.arange(num_pnp_points) * stride % n
+        pw = denormalize_xyz(out["xyz_emb"][:, sel], batch["lf_border"],
+                             batch["extent"])
+        uv = batch["xy_choosed"][:, sel]
+        keys = jax.random.split(key, pw.shape[0])
+        pnp = jax.vmap(lambda kk, p, u, km: pnp_ransac(
+            kk, p, u, km, num_hypotheses=64, inlier_px=2.0))(
+                keys, pw, uv, batch["k"])
+        dis = add_metric(pnp["r"], out["pred_t"], batch["target_r"],
+                         batch["target_t"], batch["model_points"],
+                         batch["sym_mask"])
+        return pnp["r"], out["pred_t"], dis
+
+    # compile
+    r, t, dis = infer(params, batch, key)
+    jax.block_until_ready((r, t, dis))
+
+    # timed
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        r, t, dis = infer(params, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready((r, t, dis))
+    dt = time.perf_counter() - t0
+    fps = batch_size * iters / dt
+
+    print(json.dumps({
+        "metric": "krrn_e2e_inference_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / BASELINE_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

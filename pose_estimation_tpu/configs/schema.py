@@ -1,0 +1,196 @@
+"""Typed configuration schema.
+
+The reference's hyperparameters lived in mmcv python-file configs that are
+missing from the repo (config/linemod/lm_v3_1.py is 0 bytes; lm_v3.py,
+linemod_config.py, cleargrasp_config.py don't exist — SURVEY.md preamble).
+This module is the reverse-engineered schema (SURVEY.md section 5.6, from
+every `cfg.` access in the reference) as frozen dataclasses, with defaults
+chosen from the smoke-main shape hints (lib/network/krrn.py:170-174,
+lib/network/pose/posenet.py:101) and standard values for this model family.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class LossWeights:
+    """cfg.Train.Loss.LOSS_WEIGHT keys (lib/network/loss.py:72-76)."""
+    weight_xyz: float = 1.0
+    weight_region: float = 1.0
+    weight_mask: float = 1.0
+    weight_normal: float = 1.0
+    weight_pose: float = 1.0
+
+
+@dataclass(frozen=True)
+class LrConfig:
+    """cfg.Train.Lr.* (lib/network/torch_utils.py:113-137,
+    lib/network/optimizer/ranger.py:205-291)."""
+    lr: float = 1e-4
+    scheduler: str = "lambda"        # 'step' | 'lambda' | 'epoch' | 'manual'
+    # epoch-step scheduler
+    step_size: int = 20
+    gamma: float = 0.5
+    # flat-anneal ('lambda') scheduler
+    anneal_method: str = "cosine"    # 'cosine' | 'step' | 'poly' | 'linear'
+    anneal_point: float = 0.72
+    warmup_factor: float = 1e-3
+    warmup_iters: int = 1000
+    warmup_method: str = "linear"
+    # manual scheduler (tools/trainer.py:365-368)
+    decay_margin: float = 0.016
+    decay_rate: float = 0.6
+
+
+@dataclass(frozen=True)
+class OptimizerConfig:
+    type: str = "Ranger"             # 'Ranger' | 'Adam'
+    weight_decay: float = 0.0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 8
+    rf_batch_size: int = 8
+    noise: float = 0.03
+    amp: bool = True                  # bfloat16 activations on TPU
+    num_epoch: int = 120
+    num_epoch_repeat: int = 1
+    refine: bool = False
+    enable_pose: bool = True
+    start_pose_epoch: int = 10       # opt_pose gating (train.py:187-228)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    loss: LossWeights = field(default_factory=LossWeights)
+    lr: LrConfig = field(default_factory=LrConfig)
+
+
+@dataclass(frozen=True)
+class HeadConfig:
+    hidden: int = 256                # XYZNet/NMLNet HEADEN_FS
+    out: int = 3                     # OUT_FS
+
+
+@dataclass(frozen=True)
+class Gcn3dConfig:
+    neighbor_num: int = 10           # GCN_N_NUM (fusion.py:23)
+    support_num: int = 7             # GCN_SUP_NUM (fusion.py:25)
+
+
+@dataclass(frozen=True)
+class PoseHeadConfig:
+    inc_r: int = 1664                # fusion feat 1280 + one-hot 13 rounded up
+    outc_r: int = 4                  # rot code dim (disabled head)
+    out_t: int = 3
+
+
+@dataclass(frozen=True)
+class ModuleConfig:
+    """cfg.Module.* (lib/network/krrn.py:30-43)."""
+    num_cls: int = 13
+    num_kps: int = 8
+    backbone: str = "hrnet"
+    backbone_outc: int = 256
+    # HRNet topology: ((num_modules, num_blocks, (channels...)), ...) —
+    # defaults to the reference's config.yaml stages (hrnet.DEFAULT_STAGES);
+    # override for tiny CPU-runnable models.
+    hrnet_stages: tuple | None = None
+    stem_width: int = 64
+    norm: str = "gn"                 # 'gn' (TPU default) | 'bn' (parity)
+    xyznet: HeadConfig = field(default_factory=HeadConfig)
+    nmlnet: HeadConfig = field(default_factory=HeadConfig)
+    masknet: HeadConfig = field(default_factory=lambda: HeadConfig(out=1))
+    regionnet: HeadConfig = field(default_factory=lambda: HeadConfig(out=65))
+    gcn3d: Gcn3dConfig = field(default_factory=Gcn3dConfig)
+    posenet: PoseHeadConfig = field(default_factory=PoseHeadConfig)
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """cfg.Data.* (dataset/linemod/batchdataset.py:62,130-143)."""
+    num_points: int = 1024
+    num_regions: int = 64            # region head = num_regions + 1 channels
+    num_syn: int = 1000
+    part_syn: bool = True
+    back: str = ""
+    input_size: int = 128            # canonical crop bucket (static shapes)
+    out_size: int = 128
+    resize: bool = True
+    resize_type: str = "warp"
+    crop_buckets: tuple = (64, 128, 192, 256)   # replaces my_colla_fn widths
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh axes for pjit sharding (replaces MULTIGPU.*,
+    version/transparent/train.py:1221-1229)."""
+    data: int = -1                   # -1: all available devices
+    model: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    exp_name: str = "lm_v3_tpu"
+    dataset: str = "linemod"
+    cls_type: str = "ape"
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    module: ModuleConfig = field(default_factory=ModuleConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    seed: int = 0
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _replace_nested(cfg: Any, path: str, value: Any) -> Any:
+    head, _, rest = path.partition(".")
+    if rest:
+        sub = _replace_nested(getattr(cfg, head), rest, value)
+        return dataclasses.replace(cfg, **{head: sub})
+    return dataclasses.replace(cfg, **{head: value})
+
+
+def override(cfg: Config, **dotted: Any) -> Config:
+    """Apply dotted-path overrides: override(cfg, **{'train.lr.lr': 3e-4})."""
+    for path, value in dotted.items():
+        cfg = _replace_nested(cfg, path, value)
+    return cfg
+
+
+# Shipped concrete configs -------------------------------------------------
+
+def lm_v3_1() -> Config:
+    """Reconstruction of config/linemod/lm_v3_1.py (empty in the reference)."""
+    return Config()
+
+
+def lm_ape_cpu() -> Config:
+    """BASELINE.json configs[0]: single-object 'ape', CPU-runnable scale."""
+    return override(
+        Config(cls_type="ape"),
+        **{
+            "data.num_points": 256,
+            "data.num_regions": 16,
+            "data.input_size": 64,
+            "data.out_size": 64,
+            "train.batch_size": 2,
+            "train.amp": False,
+        },
+    )
+
+
+def transparent_cleargrasp() -> Config:
+    """version/transparent cleargrasp run (train.py:48-91 schema)."""
+    return override(
+        Config(exp_name="transparent", dataset="cleargrasp",
+               cls_type="all"),
+        **{
+            "module.num_cls": 5,
+            "data.num_points": 1000,
+            "data.input_size": 256,
+        },
+    )

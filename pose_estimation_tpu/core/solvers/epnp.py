@@ -1,0 +1,178 @@
+"""Batched EPnP (Efficient Perspective-n-Point) in pure JAX.
+
+Replaces the reference's CPU OpenCV calls `cv2.solvePnPRansac(...,
+SOLVEPNP_EPNP)` (tools/trainer.py:423-427, tools/script/eval.py:131-135,
+lib/utils/utlis.py:59-63) with a fixed-shape, jit/vmap-safe implementation so
+pose recovery runs on-device inside the same compiled program as the model.
+
+Algorithm (Lepetit et al., IJCV'09), the same one OpenCV implements:
+  1. 4 control points = centroid + 3 PCA axes of the world points
+  2. barycentric coordinates of every world point in the control basis
+  3. M x = 0 (2n x 12) from the projection equations; null-space basis from
+     the 4 smallest eigenvectors of M^T M (12 x 12 eigh)
+  4. betas from inter-control-point distance constraints (cases N=1 and N=2),
+     then Gauss-Newton refinement of all 4 betas
+  5. pose from Kabsch alignment of world to camera control points, with a
+     cheirality (positive-depth) sign fix; best beta case wins by
+     reprojection error.
+
+Weighted by a per-point mask throughout so RANSAC minimal subsets and padded
+batches are static-shape.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pose_estimation_tpu.core.geometry.umeyama import kabsch
+from pose_estimation_tpu.core.geometry.intrinsics import project_points
+from pose_estimation_tpu.core.precision import einsum as _einsum, matmul as _mm
+
+_EPS = 1e-9
+
+# Index pairs of the 6 distances among 4 control points.
+_PAIRS = jnp.array([(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)])
+
+
+def _control_points(pw: jax.Array, w: jax.Array) -> jax.Array:
+    """Centroid + principal axes control points. pw [n,3], w [n] -> [4,3]."""
+    wsum = jnp.maximum(w.sum(), _EPS)
+    c = (w[:, None] * pw).sum(0) / wsum
+    centered = (pw - c) * jnp.sqrt(w)[:, None]
+    cov = _mm(centered.T, centered) / wsum
+    eigval, eigvec = jnp.linalg.eigh(cov)  # ascending
+    # scale axes by sqrt of eigenvalue (OpenCV convention), guard degenerate
+    s = jnp.sqrt(jnp.maximum(eigval, 1e-12))
+    axes = eigvec.T * s[:, None]  # rows
+    return jnp.concatenate([c[None], c[None] + axes], axis=0)
+
+
+def _barycentric(pw: jax.Array, ctrl: jax.Array) -> jax.Array:
+    """Barycentric coords [n, 4] s.t. pw = alpha @ ctrl, sum(alpha) = 1."""
+    # Solve [ctrl^T; 1] alpha = [pw; 1]
+    ct = jnp.concatenate([ctrl.T, jnp.ones((1, 4), pw.dtype)], axis=0)  # 4x4
+    rhs = jnp.concatenate([pw.T, jnp.ones((1, pw.shape[0]), pw.dtype)], axis=0)
+    alpha = jnp.linalg.solve(ct + _EPS * jnp.eye(4, dtype=pw.dtype), rhs)
+    return alpha.T
+
+
+def _build_mtm(alpha: jax.Array, uv: jax.Array, k: jax.Array,
+               w: jax.Array) -> jax.Array:
+    """M^T M (12x12) accumulated directly — M (2n x 12) never materializes
+    per-row pairs; rows are formed batched then contracted on the MXU."""
+    fx, fy = k[0, 0], k[1, 1]
+    cx, cy = k[0, 2], k[1, 2]
+    n = alpha.shape[0]
+    zeros = jnp.zeros((n, 4), alpha.dtype)
+    du = (cx - uv[:, 0])[:, None] * alpha  # n x 4
+    dv = (cy - uv[:, 1])[:, None] * alpha
+    # row_u: [fx*a | 0 | (cx-u)*a] interleaved as 12 = 4 ctrl x 3 coords
+    # layout: columns grouped per control point (x_j, y_j, z_j).
+    row_u = jnp.stack([fx * alpha, zeros, du], axis=-1).reshape(n, 12)
+    row_v = jnp.stack([zeros, fy * alpha, dv], axis=-1).reshape(n, 12)
+    mtm = (_einsum("ni,nj->ij", w[:, None] * row_u, row_u)
+           + _einsum("ni,nj->ij", w[:, None] * row_v, row_v))
+    return mtm
+
+
+def _rho(ctrl_w: jax.Array) -> jax.Array:
+    """Squared distances between world control points [6]."""
+    d = ctrl_w[_PAIRS[:, 0]] - ctrl_w[_PAIRS[:, 1]]
+    return jnp.sum(d * d, axis=-1)
+
+
+def _vk_pair_diffs(vk: jax.Array) -> jax.Array:
+    """vk [4 (basis), 4 (ctrl), 3] -> pair differences [4, 6, 3]."""
+    return vk[:, _PAIRS[:, 0]] - vk[:, _PAIRS[:, 1]]
+
+
+def _betas_case1(dv: jax.Array, rho: jax.Array) -> jax.Array:
+    """x = b1 * v1. dv: [4, 6, 3]."""
+    d1 = jnp.sum(dv[0] * dv[0], axis=-1)
+    # least squares: b1^2 * d1 = rho  => b1 = sqrt(<rho,d1>/<d1,d1>)
+    b1 = jnp.sqrt(jnp.maximum(jnp.sum(rho * d1) / jnp.maximum(
+        jnp.sum(d1 * d1), _EPS), _EPS))
+    return jnp.array([1.0, 0.0, 0.0, 0.0]) * b1
+
+
+def _betas_case2(dv: jax.Array, rho: jax.Array) -> jax.Array:
+    """x = b1 v1 + b2 v2: solve for (b11, b12, b22) then recover signs."""
+    d1, d2 = dv[0], dv[1]
+    a = jnp.stack(
+        [jnp.sum(d1 * d1, -1), 2 * jnp.sum(d1 * d2, -1), jnp.sum(d2 * d2, -1)],
+        axis=-1)  # [6, 3]
+    sol = jnp.linalg.lstsq(a, rho)[0]
+    b11, b12, b22 = sol[0], sol[1], sol[2]
+    b1 = jnp.sqrt(jnp.maximum(jnp.abs(b11), _EPS))
+    b2 = jnp.sqrt(jnp.maximum(jnp.abs(b22), _EPS)) * jnp.sign(b12) * jnp.sign(b11)
+    return jnp.array([0.0, 0.0, 0.0, 0.0]).at[0].set(b1).at[1].set(b2)
+
+
+def _gauss_newton_betas(betas: jax.Array, vk: jax.Array, rho: jax.Array,
+                        iters: int = 8) -> jax.Array:
+    """Refine 4 betas on the 6 control-distance residuals (OpenCV does 5)."""
+    dv = _vk_pair_diffs(vk)  # [4, 6, 3]
+
+    def residual(b):
+        x = _einsum("k,kpc->pc", b, dv)  # [6, 3]
+        return jnp.sum(x * x, axis=-1) - rho
+
+    def step(b, _):
+        r = residual(b)
+        j = jax.jacfwd(residual)(b)  # [6, 4]
+        jtj = _mm(j.T, j) + 1e-9 * jnp.eye(4)
+        delta = jnp.linalg.solve(jtj, _mm(j.T, r[:, None]))[:, 0]
+        return b - delta, None
+
+    betas, _ = jax.lax.scan(step, betas, None, length=iters)
+    return betas
+
+
+def _pose_from_betas(betas: jax.Array, vk: jax.Array, alpha: jax.Array,
+                     pw: jax.Array, w: jax.Array):
+    """Camera control points -> per-point camera coords -> Kabsch pose."""
+    ctrl_cam = _einsum("k,kcj->cj", betas, vk)  # [4, 3]
+    pc = _mm(alpha, ctrl_cam)  # [n, 3] camera-frame points
+    # cheirality: weighted mean depth must be positive
+    depth = (w * pc[:, 2]).sum() / jnp.maximum(w.sum(), _EPS)
+    pc = pc * jnp.sign(depth)
+    r, t, _ = kabsch(pw, pc, weights=w)
+    return r, t
+
+
+def epnp(pw: jax.Array, uv: jax.Array, k: jax.Array,
+         weights: jax.Array | None = None):
+    """Single-instance EPnP. pw [n, 3] world points, uv [n, 2] pixels,
+    k [3, 3]; weights [n] optional mask. Returns (R [3,3], t [3]).
+
+    vmap over the leading axis for batches / RANSAC hypothesis sets.
+    """
+    n = pw.shape[0]
+    w = jnp.ones((n,), pw.dtype) if weights is None else weights
+    w = w / jnp.maximum(w.sum(), _EPS) * n  # keep scale ~1 per point
+
+    ctrl_w = _control_points(pw, w)
+    alpha = _barycentric(pw, ctrl_w)
+    mtm = _build_mtm(alpha, uv, k, w)
+    _, eigvec = jnp.linalg.eigh(mtm)  # ascending eigenvalues
+    vk = eigvec[:, :4].T.reshape(4, 4, 3)  # [basis k, ctrl point, xyz]
+
+    rho = _rho(ctrl_w)
+    candidates = [
+        _gauss_newton_betas(_betas_case1(_vk_pair_diffs(vk), rho), vk, rho),
+        _gauss_newton_betas(_betas_case2(_vk_pair_diffs(vk), rho), vk, rho),
+    ]
+
+    def score(rt):
+        r, t = rt
+        proj = project_points(_mm(pw, r.T) + t, k)
+        err = jnp.sum((proj - uv) ** 2, axis=-1)
+        return (w * err).sum()
+
+    poses = [_pose_from_betas(b, vk, alpha, pw, w) for b in candidates]
+    errs = jnp.stack([score(p) for p in poses])
+    best = jnp.argmin(errs)
+    rs = jnp.stack([p[0] for p in poses])
+    ts = jnp.stack([p[1] for p in poses])
+    return rs[best], ts[best]

@@ -1,0 +1,160 @@
+"""PnP-RANSAC, fully on-device, with implicit-function-theorem gradients.
+
+Replaces the reference's eval-time CPU hop
+(`cv2.solvePnPRansac(model_points, pixels, K, SOLVEPNP_EPNP,
+confidence=0.9999, reprojectionError=1)` — tools/trainer.py:423-427) AND the
+back-propagatable PnP autograd.Function (lib/network/dnn/BPnP.py:8-117) in a
+single jit-compiled, batched, fixed-shape program:
+
+- hypothesis generation: H minimal subsets -> vmapped EPnP
+- scoring: reprojection inliers over all points (masked, static shape)
+- refinement: LM on the soft-inlier-weighted full set
+- gradients: `pnp_implicit` wraps the refined solution in a custom_vjp via
+  the implicit function theorem on the stationarity of the weighted
+  reprojection objective — the same math BPnP builds row by row with
+  torch.autograd (BPnP.py:53-117), here as two jax.vjp calls and one
+  6x6 solve.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pose_estimation_tpu.core.geometry.rotations import (
+    axis_angle_to_matrix, matrix_to_axis_angle)
+from pose_estimation_tpu.core.solvers.epnp import epnp
+from pose_estimation_tpu.core.solvers.lm import (
+    refine_pose_lm, reprojection_residuals)
+from pose_estimation_tpu.core.precision import matmul as _mm
+
+_EPS = 1e-9
+
+
+def _masked_choice(key: jax.Array, n: int, num: int,
+                   mask: jax.Array) -> jax.Array:
+    """Sample `num` indices (with replacement) ~ uniform over mask==1."""
+    logits = jnp.where(mask > 0, 0.0, -1e30)
+    return jax.random.categorical(key, logits, shape=(num,))
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses", "sample_size",
+                                   "refine_iters"))
+def pnp_ransac(key: jax.Array, pw: jax.Array, uv: jax.Array, k: jax.Array,
+               mask: jax.Array | None = None,
+               num_hypotheses: int = 64, sample_size: int = 6,
+               inlier_px: float = 2.0, refine_iters: int = 10):
+    """Single instance RANSAC PnP. pw [n,3], uv [n,2], k [3,3], mask [n].
+
+    Returns dict with r [3,3], t [3], pose6 [6], inliers [n] bool,
+    mean_err (px MSE over inliers). vmap over instances for a batch.
+    """
+    n = pw.shape[0]
+    if mask is None:
+        mask = jnp.ones((n,), pw.dtype)
+    mask = mask.astype(pw.dtype)
+
+    keys = jax.random.split(key, num_hypotheses)
+
+    def hypothesis(hk):
+        ids = _masked_choice(hk, n, sample_size, mask)
+        w = jnp.zeros((n,), pw.dtype).at[ids].add(1.0)
+        return epnp(pw, uv, k, weights=w * mask)
+
+    rs, ts = jax.vmap(hypothesis)(keys)
+
+    # Score all hypotheses against all points.
+    pc = jnp.einsum("hij,nj->hni", rs, pw,
+                    precision=jax.lax.Precision.HIGHEST) + ts[:, None, :]
+    z = jnp.maximum(pc[..., 2], 1e-8)
+    proj_u = pc[..., 0] / z * k[0, 0] + k[0, 2]
+    proj_v = pc[..., 1] / z * k[1, 1] + k[1, 2]
+    err = jnp.sqrt((proj_u - uv[:, 0]) ** 2 + (proj_v - uv[:, 1]) ** 2)
+    inl = (err < inlier_px) & (mask > 0) & (pc[..., 2] > 0)
+    scores = inl.sum(-1)
+    best = jnp.argmax(scores)
+
+    pose0 = jnp.concatenate([matrix_to_axis_angle(rs[best]), ts[best]])
+    # Refine on the best hypothesis's inliers; if degenerate (few inliers)
+    # fall back to all masked points.
+    w_inl = inl[best].astype(pw.dtype)
+    w_ref = jnp.where(scores[best] >= sample_size, w_inl, mask)
+    pose, mse = refine_pose_lm(pose0, pw, uv, k, w_ref, iters=refine_iters)
+
+    # Final inlier set at the refined pose.
+    res = reprojection_residuals(pose, pw, uv, k).reshape(-1, 2)
+    final_err = jnp.linalg.norm(res, axis=-1)
+    final_inl = (final_err < inlier_px) & (mask > 0)
+
+    return {
+        "r": axis_angle_to_matrix(pose[:3]),
+        "t": pose[3:],
+        "pose6": pose,
+        "inliers": final_inl,
+        "mean_err": mse,
+        "num_inliers": final_inl.sum(),
+    }
+
+
+def pnp_ransac_batch(key: jax.Array, pw: jax.Array, uv: jax.Array,
+                     k: jax.Array, mask: jax.Array | None = None, **kw):
+    """Batched RANSAC PnP: pw [b,n,3], uv [b,n,2], k [b,3,3] or [3,3]."""
+    b = pw.shape[0]
+    keys = jax.random.split(key, b)
+    if k.ndim == 2:
+        k = jnp.broadcast_to(k, (b, 3, 3))
+    if mask is None:
+        mask = jnp.ones(pw.shape[:2], pw.dtype)
+    return jax.vmap(lambda kk, p, u, km, m: pnp_ransac(kk, p, u, km, m, **kw))(
+        keys, pw, uv, k, mask)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable PnP via the implicit function theorem (BPnP generalization)
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def pnp_implicit(pose6: jax.Array, pw: jax.Array, uv: jax.Array,
+                 k: jax.Array, weights: jax.Array) -> jax.Array:
+    """Identity on a (refined) pose that is a stationary point of the
+    weighted reprojection objective; gradients to (pw, uv, k) flow through
+    the implicit function theorem. Use as:
+
+        pose = pnp_ransac(...)["pose6"]            # non-diff solver
+        pose = pnp_implicit(pose, pw, uv, k, w)    # attach gradients
+
+    Replaces BPnP.backward (lib/network/dnn/BPnP.py:53-117), which assembled
+    J_fy / J_fx / J_fz / J_fK row-by-row with torch.autograd.grad; here the
+    same quantities are two vjp calls against g = dE/dpose.
+    """
+    return pose6
+
+
+def _objective_grad(pose6, pw, uv, k, weights):
+    def energy(p, pw_, uv_, k_):
+        res = reprojection_residuals(p, pw_, uv_, k_).reshape(-1, 2)
+        return 0.5 * jnp.sum(weights[:, None] * res * res)
+    return jax.grad(energy, argnums=0)(pose6, pw, uv, k)
+
+
+def _pnp_fwd(pose6, pw, uv, k, weights):
+    return pose6, (pose6, pw, uv, k, weights)
+
+
+def _pnp_bwd(saved, gbar):
+    pose6, pw, uv, k, weights = saved
+    # g(pose; x) = dE/dpose = 0 at the solution.
+    # dpose/dx = -(dg/dpose)^-1 dg/dx ; chain with gbar.
+    hess = jax.jacfwd(_objective_grad, argnums=0)(pose6, pw, uv, k, weights)
+    hess = hess + 1e-6 * jnp.eye(6, dtype=pose6.dtype)
+    v = jnp.linalg.solve(hess.T, gbar)  # [6]
+    _, vjp_x = jax.vjp(
+        lambda pw_, uv_, k_: _objective_grad(pose6, pw_, uv_, k_, weights),
+        pw, uv, k)
+    gpw, guv, gk = vjp_x(-v)
+    return (jnp.zeros_like(pose6), gpw, guv, gk, jnp.zeros_like(weights))
+
+
+pnp_implicit.defvjp(_pnp_fwd, _pnp_bwd)

@@ -1,0 +1,75 @@
+"""Batch assembly: full frames -> stacked, model-ready training batches.
+
+The glue between a frame source (data/synthetic.py now; data/linemod.py for
+the real datasets) and the compiled train/eval steps. Replaces the
+reference's DataLoader + my_colla_fn size-bucketing + process_patch_datas
+re-batching (torch_utils.py:96-110, tools/trainer.py:521-551): with static
+crop sizes there is nothing to bucket — every sample maps through the same
+jit program and stacks.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pose_estimation_tpu.data.pipeline import prepare_sample
+
+
+def frame_to_sample(key, frame: dict, obj, crop_size: int, num_points: int):
+    """One rendered/loaded frame + object meta -> sample dict (jnp)."""
+    jframe = {
+        "rgb": jnp.asarray(frame["rgb"], jnp.float32),
+        "depth": jnp.asarray(frame["depth"], jnp.float32),
+        "mask": jnp.asarray(frame["mask"]),
+        "coordinate": jnp.asarray(frame["coordinate"], jnp.float32),
+        "normal": jnp.asarray(frame["normal"], jnp.float32),
+        "region": jnp.asarray(frame["region"], jnp.int32),
+        "k": jnp.asarray(frame["k"], jnp.float32),
+    }
+    s = prepare_sample(key, jframe, jnp.asarray(obj.lf_border),
+                       jnp.asarray(obj.extent), crop_size=crop_size,
+                       num_points=num_points)
+    cls_id = int(frame["cls_id"])
+    r = np.asarray(frame["r"], np.float32)
+    t = np.asarray(frame["t"], np.float32)
+    target = obj.model_points @ r.T + t
+    s.update({
+        "cls": jnp.asarray(cls_id, jnp.int32),
+        "multi_cls_mask": jnp.where(
+            s["valid"], jnp.int32(cls_id + 1), 0),
+        "target": jnp.asarray(target, jnp.float32),
+        "model_points": jnp.asarray(obj.model_points, jnp.float32),
+        "target_r": jnp.asarray(r),
+        "target_t": jnp.asarray(t),
+        "sym_mask": jnp.asarray(float(obj.sym), jnp.float32),
+        "lf_border": jnp.asarray(obj.lf_border),
+        "extent": jnp.asarray(obj.extent),
+        "diameter": jnp.asarray(obj.diameter, jnp.float32),
+        "k": jframe["k"],
+    })
+    return s
+
+
+def make_batch(dataset, indices, key, crop_size: int = 128,
+               num_points: int = 1024):
+    """Stack samples for `indices` into one batch dict of [B, ...] arrays."""
+    samples = []
+    for j, i in enumerate(indices):
+        frame = dataset[int(i)]
+        obj = dataset.objects[frame["cls_id"]]
+        samples.append(frame_to_sample(
+            jax.random.fold_in(key, j), frame, obj, crop_size, num_points))
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *samples)
+
+
+def epoch_indices(key, num_samples: int, batch_size: int, shard_count: int = 1,
+                  shard_index: int = 0):
+    """Shuffled per-epoch index batches; disjoint shards per host — the
+    DistributedSampler semantics (train.py:1239, set_epoch reshuffle) done
+    as seeded index arithmetic."""
+    perm = np.asarray(jax.random.permutation(key, num_samples))
+    perm = perm[shard_index::shard_count]
+    n_batches = len(perm) // batch_size
+    return perm[: n_batches * batch_size].reshape(n_batches, batch_size)

@@ -1,0 +1,125 @@
+"""Transparent-pipeline losses (DenseFusion confidence ADD + completion).
+
+Rebuild of version/transparent/lib/networks/loss.py:
+- focal_loss (PVN3D mask loss, :56-94)
+- confidence-weighted per-point-hypothesis ADD(-S) with allocentric->
+  egocentric conversion and axis-symmetry rotation constraint
+  (PossLoss, :196-245)
+- the per-frame aggregate with normal/depth/mask/boundary completion terms
+  (Loss, :270-335) and its batched mean (MultiLoss, :338-432).
+
+Branch-free deltas: the per-sample `idx in sym_list` python branch and the
+pykeops KNN reorder become a batched chamfer selected by `sym_mask`; the
+per-point quaternion -> R uses the standard convention
+(core.geometry.quat_to_matrix) instead of the reference's hand-rolled
+matrix (loss.py:249-266).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pose_estimation_tpu.core.geometry.allocentric import allo_to_ego_matrix
+from pose_estimation_tpu.core.geometry.rotations import quat_to_matrix
+from pose_estimation_tpu.core.pointops import min_dists
+from pose_estimation_tpu.core.precision import matmul as _mm
+from pose_estimation_tpu.losses.map_loss import cosine_map, masked_mean
+
+_EPS = 1e-8
+
+
+def focal_loss(logits: jax.Array, target: jax.Array, gamma: float = 0.0,
+               alpha: jax.Array | None = None) -> jax.Array:
+    """Focal CE over trailing class axis; logits [..., C], target [...] int."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    picked = jnp.take_along_axis(logp, target[..., None].astype(jnp.int32),
+                                 axis=-1)[..., 0]
+    pt = jnp.exp(picked)
+    w = (1.0 - pt) ** gamma
+    if alpha is not None:
+        w = w * alpha[target]
+    return jnp.mean(-w * picked)
+
+
+def confidence_pose_loss(pred_quat, pred_t, pred_c, target, model_points,
+                         sym_mask, axis, gt_r, w_conf: float = 0.015,
+                         allocentric: bool = True):
+    """PossLoss (loss.py:196-245), batched over B and per-point hypotheses.
+
+    pred_quat [B,N,4], pred_t [B,N,3] per-point translations, pred_c
+    [B,N,1] confidences, target [B,M,3] gt-posed model points,
+    model_points [B,M,3], sym_mask [B], axis [B,3] per-object symmetry-axis
+    weights (dataconfig yaml), gt_r [B,3,3].
+
+    Returns (loss_add, best_distance [B], loss_rot).
+    """
+    b, n, _ = pred_quat.shape
+    base = quat_to_matrix(pred_quat)                    # [B,N,3,3]
+    if allocentric:
+        base = allo_to_ego_matrix(pred_t, base)
+
+    # pred point sets per hypothesis: [B,N,M,3]
+    pred = _mm(model_points[:, None], jnp.swapaxes(base, -1, -2)) \
+        + pred_t[:, :, None, :]
+
+    direct = jnp.linalg.norm(pred - target[:, None], axis=-1).mean(-1)
+    flat_pred = pred.reshape(b, n * pred.shape[2], 3)
+    chamfer = min_dists(flat_pred, target).reshape(b, n, -1).mean(-1)
+    dis = jnp.where(sym_mask[:, None] > 0, chamfer, direct)  # [B,N]
+
+    c = pred_c[..., 0]
+    loss_add = jnp.mean(dis * c - w_conf * jnp.log(c + _EPS))
+
+    # axis-symmetry rotation constraint: weighted cosine of R columns
+    cols_pred = jnp.swapaxes(base, -1, -2)              # rows = columns of R
+    cols_gt = jnp.swapaxes(gt_r, -1, -2)[:, None]
+    cos = jnp.sum(cols_pred * cols_gt, -1) / jnp.maximum(
+        jnp.linalg.norm(cols_pred, axis=-1)
+        * jnp.linalg.norm(cols_gt, axis=-1), _EPS)      # [B,N,3]
+    loss_axis = jnp.sum(axis[:, None, :] * (1.0 - cos), -1)
+    loss_rot = jnp.mean(c * loss_axis - w_conf * jnp.log(c + _EPS))
+
+    best = jnp.argmax(c, axis=1)
+    best_dis = jnp.take_along_axis(dis, best[:, None], 1)[:, 0]
+    return loss_add, best_dis, loss_rot
+
+
+def smooth_l1(pred, target):
+    d = jnp.abs(pred - target)
+    return jnp.mean(jnp.where(d < 1.0, 0.5 * d * d, d - 0.5))
+
+
+def transparent_loss(pred, gt, weights, w_conf: float = 0.015):
+    """Full aggregate (Loss, loss.py:270-335).
+
+    pred keys: quat [B,N,4], trans [B,N,3], conf [B,N,1], normal [B,H,W,3],
+    depth [B,H,W,1], mask [B,H,W,1], (optional) boundary.
+    gt keys: target [B,M,3], model_points [B,M,3], sym_mask [B], axis [B,3],
+    r [B,3,3], normal [B,H,W,3], depth [B,H,W,1], mask [B,H,W,1],
+    (optional) boundary.
+    weights keys: distance, normal, depth, mask, boundary, rotation.
+    """
+    loss_add, best_dis, loss_rot = confidence_pose_loss(
+        pred["quat"], pred["trans"], pred["conf"], gt["target"],
+        gt["model_points"], gt["sym_mask"], gt["axis"], gt["r"],
+        w_conf=w_conf)
+
+    valid_n = jnp.any(gt["normal"] != 0, axis=-1)
+    loss_n = masked_mean(cosine_map(pred["normal"], gt["normal"]),
+                         valid_n.astype(jnp.float32))
+    loss_d = smooth_l1(pred["depth"], gt["depth"])
+    loss_m = jnp.mean(jnp.abs(pred["mask"] - gt["mask"]))
+    loss_b = (jnp.mean(jnp.abs(pred["boundary"] - gt["boundary"]))
+              if "boundary" in pred and "boundary" in gt
+              else jnp.float32(0.0))
+
+    total = (weights["distance"] * loss_add + weights["normal"] * loss_n
+             + weights["depth"] * loss_d + weights["mask"] * loss_m
+             + weights["rotation"] * loss_rot
+             + weights.get("boundary", 0.0) * loss_b)
+    return {
+        "all_loss": total, "loss_add": loss_add, "loss_r": loss_rot,
+        "loss_n": loss_n, "loss_m": loss_m, "loss_d": loss_d,
+        "loss_b": loss_b, "distance": jnp.mean(best_dis),
+    }

@@ -1,0 +1,122 @@
+"""3D-GCN point-cloud convolution ops, flax.
+
+Rebuild of the third-party 3D-GCN blocks the reference vendors
+(lib/network/point/gcn3d.py:72-242: Conv_surface / Conv_layer /
+Conv_fuse_layer / Pool_layer), re-expressed as batched einsum programs:
+
+  theta[b,n,k,s,o] = relu(<unit dir to neighbor k, learned direction (s,o)>)
+  out[b,n,o]       = sum_s max_k theta * (neighbor support feature)
+
+The direction-kernel inner products and the feature projection are MXU
+matmuls; neighbor gathers use core.pointops. The KNN index is computed by
+the caller (shared across streams, as in fusion.py:175).
+
+Note on the reference's randomness: Pool_layer subsamples with a single
+torch.randperm shared across the batch (gcn3d.py:238-241); here the
+permutation comes from a flax RNG stream ('pool'), or a deterministic
+strided subsample when the stream is absent (eval).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pose_estimation_tpu.core import pointops as po
+
+
+def _unit_directions(vertices, index):
+    return po.neighbor_directions(vertices, index)
+
+
+class ConvSurface(nn.Module):
+    """Structure features from raw coordinates (gcn3d.py:72-112)."""
+
+    kernel_num: int
+    support_num: int
+    point_dim: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, neighbor_index, vertices):
+        s, o = self.support_num, self.kernel_num
+        stdv = 1.0 / (s * o) ** 0.5
+        directions = self.param(
+            "directions",
+            lambda k: jax.random.uniform(k, (self.point_dim, s * o),
+                                         minval=-stdv, maxval=stdv))
+        dirs = directions / jnp.maximum(
+            jnp.linalg.norm(directions, axis=0, keepdims=True), 1e-12)
+        nd = _unit_directions(vertices, neighbor_index)  # [b,n,k,d]
+        theta = nn.relu(jnp.einsum("bnkd,dm->bnkm", nd.astype(self.dtype),
+                                   dirs.astype(self.dtype)))
+        b, n, k, _ = theta.shape
+        theta = theta.reshape(b, n, k, s, o)
+        return jnp.sum(jnp.max(theta, axis=2), axis=2)  # [b,n,o]
+
+
+class ConvLayer(nn.Module):
+    """Graph conv on features (gcn3d.py:115-164 / 167-216 for 9-D fuse)."""
+
+    out_channel: int
+    support_num: int
+    point_dim: int = 3  # 9 for ConvFuse (direction space of the vertices)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, neighbor_index, vertices, feature_map):
+        s, o = self.support_num, self.out_channel
+        in_ch = feature_map.shape[-1]
+        stdv = 1.0 / (o * (s + 1)) ** 0.5
+        init = lambda k, shape: jax.random.uniform(
+            k, shape, minval=-stdv, maxval=stdv)
+        weights = self.param("weights", init, (in_ch, (s + 1) * o))
+        bias = self.param("bias", init, ((s + 1) * o,))
+        directions = self.param("directions", init, (self.point_dim, s * o))
+
+        dirs = directions / jnp.maximum(
+            jnp.linalg.norm(directions, axis=0, keepdims=True), 1e-12)
+        nd = _unit_directions(vertices, neighbor_index)
+        theta = nn.relu(jnp.einsum("bnkd,dm->bnkm", nd.astype(self.dtype),
+                                   dirs.astype(self.dtype)))  # [b,n,k,s*o]
+
+        feat = (feature_map.astype(self.dtype) @ weights.astype(self.dtype)
+                + bias.astype(self.dtype))
+        center = feat[..., :o]
+        support = feat[..., o:]                                  # [b,n,s*o]
+        support = po.gather_neighbors(support, neighbor_index)   # [b,n,k,s*o]
+        act = (theta * support)
+        b, n, k, _ = act.shape
+        act = act.reshape(b, n, k, s, o)
+        return center + jnp.sum(jnp.max(act, axis=2), axis=2)
+
+
+class PoolLayer(nn.Module):
+    """Neighbor max-pool + subsample (gcn3d.py:218-242).
+
+    Random permutation from the 'pool' RNG stream when present (training
+    parity with torch.randperm); otherwise an evenly-strided subsample
+    (deterministic eval — the reference randomizes at eval too, but a
+    deterministic eval path is strictly better behaved).
+    """
+
+    pooling_rate: int = 4
+    neighbor_num: int = 4
+
+    @nn.compact
+    def __call__(self, vertices, feature_map):
+        n = vertices.shape[-2]
+        pool_num = n // self.pooling_rate
+        idx = po.knn_indices(vertices[..., :3], self.neighbor_num,
+                             exclude_self=True)
+        pooled = jnp.max(po.gather_neighbors(feature_map, idx), axis=-2)
+        if self.has_rng("pool"):
+            sample = jax.random.permutation(
+                self.make_rng("pool"), n)[:pool_num]
+        else:
+            sample = jnp.arange(pool_num) * self.pooling_rate
+        return (jnp.take(vertices, sample, axis=-2),
+                jnp.take(pooled, sample, axis=-2))

@@ -1,0 +1,178 @@
+"""KRRN — the flagship LineMOD RGB-D pose model, TPU-native.
+
+Rebuild of lib/network/krrn.py:26-165: HRNet backbone, full-resolution
+per-pixel decoder heads (multi-class mask, region classification, per-class
+model-coordinate "xyz" map, per-class surface normals), pixel gather at the
+`choose` indices, 3D-GCN dense fusion with the depth cloud, and per-point
+translation-offset regression.
+
+Structural deltas from the reference (all TPU-motivated):
+- NHWC maps; per-class channel select via one-hot einsum (torch.gather with
+  repeated index tensors -> one [B,C,3,H,W] x [B,C] contraction);
+- static shapes: crop size and point count fixed per compiled program;
+- GroupNorm default;
+- the rotation decoder exists behind `enable_rot` (reference keeps the code
+  but disables it, krrn.py:146-152), rotation at eval comes from the
+  on-device PnP-RANSAC solver (core/solvers) instead of cv2.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pose_estimation_tpu.configs.schema import Config
+from pose_estimation_tpu.models.fusion import FusionNet, FusionNetLite
+from pose_estimation_tpu.models.hrnet import HRNet
+from pose_estimation_tpu.models.layers import (
+    ConvNorm, ConvTransposeNorm, upsample2x)
+from pose_estimation_tpu.models.posenet import PoseNet
+
+
+class XYZHead(nn.Module):
+    """1/4-res feature -> full-res map head (krrn.py:46-65): deconv x2,
+    conv, bilinear x2, 2 convs, 1x1 projection."""
+
+    hidden: int
+    out_channels: int
+    norm: str = "gn"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvTransposeNorm(self.hidden, 3, self.norm, self.dtype)(x, train)
+        x = ConvNorm(self.hidden, 3, 1, True, self.norm, self.dtype)(x, train)
+        x = upsample2x(x)
+        x = ConvNorm(self.hidden, 3, 1, True, self.norm, self.dtype)(x, train)
+        x = ConvNorm(self.hidden, 3, 1, True, self.norm, self.dtype)(x, train)
+        return nn.Conv(self.out_channels, (1, 1), dtype=jnp.float32)(
+            x.astype(jnp.float32))
+
+
+class NMLHead(nn.Module):
+    """1/2-res backbone feature -> full-res normal map (krrn.py:68-84):
+    conv, conv, bilinear x2, conv, 1x1 projection."""
+
+    hidden: int
+    out_channels: int
+    norm: str = "gn"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvNorm(self.hidden, 3, 1, True, self.norm, self.dtype)(x, train)
+        x = ConvNorm(self.hidden, 3, 1, True, self.norm, self.dtype)(x, train)
+        x = upsample2x(x)
+        x = ConvNorm(self.hidden, 3, 1, True, self.norm, self.dtype)(x, train)
+        return nn.Conv(self.out_channels, (1, 1), dtype=jnp.float32)(
+            x.astype(jnp.float32))
+
+
+def _select_class(maps: jax.Array, cls: jax.Array, num_cls: int) -> jax.Array:
+    """[B, H, W, num_cls*3] + [B] class ids -> [B, H, W, 3].
+
+    One-hot einsum instead of torch.gather-with-repeat (krrn.py:105-106) —
+    contraction-friendly for XLA, no giant index tensors.
+    """
+    b, h, w, _ = maps.shape
+    maps = maps.reshape(b, h, w, num_cls, 3)
+    onehot = jax.nn.one_hot(cls, num_cls, dtype=maps.dtype)
+    return jnp.einsum("bhwcd,bc->bhwd", maps, onehot)
+
+
+def _gather_pixels(maps: jax.Array, choose: jax.Array) -> jax.Array:
+    """[B, H, W, C] + [B, N] flat pixel ids -> [B, N, C] (krrn.py:121-122)."""
+    b, h, w, c = maps.shape
+    flat = maps.reshape(b, h * w, c)
+    return jnp.take_along_axis(flat, choose[..., None], axis=1)
+
+
+class KRRN(nn.Module):
+    """Forward signature mirrors the reference (krrn.py:91):
+    x [B,H,W,3] crop, p_emb [B,N,3] depth cloud, choose [B,N] flat pixel
+    indices, cls [B] class ids; returns the same dict of outputs."""
+
+    cfg: Config
+    dtype: Any = jnp.float32
+    fusion_variant: str = "lite"      # 'lite' (default, krrn.py:88) | 'full'
+    enable_rot: bool = False
+
+    @nn.compact
+    def __call__(self, x, p_emb, choose, cls, train: bool = False,
+                 opt_pose: bool = True):
+        m = self.cfg.module
+        num_cls = m.num_cls
+        mask_outc = m.masknet.out * num_cls + 1
+        region_outc = self.cfg.data.num_regions + 1
+        xyz_outc = m.xyznet.out * num_cls
+        nml_outc = m.nmlnet.out * num_cls
+
+        from pose_estimation_tpu.models.hrnet import DEFAULT_STAGES
+        feat_quarter, feat_half = HRNet(
+            backbone_outc=m.backbone_outc,
+            stages=m.hrnet_stages or DEFAULT_STAGES,
+            stem_width=m.stem_width, norm=m.norm, dtype=self.dtype)(
+                x.astype(self.dtype), train)
+
+        # Reference wiring (krrn.py:93-95): the 1/4-res backbone output feeds
+        # XYZNet (deconv + bilinear, x4 to full res); the 1/2-res deconv
+        # output feeds NMLNet (x2 to full res).
+        xyz_map = XYZHead(m.xyznet.hidden,
+                          mask_outc + region_outc + xyz_outc,
+                          m.norm, self.dtype)(feat_quarter, train)
+        nml_map = NMLHead(m.nmlnet.hidden, nml_outc, m.norm, self.dtype)(
+            feat_half, train)
+
+        pred_mask = xyz_map[..., :mask_outc]
+        pred_region = xyz_map[..., mask_outc:mask_outc + region_outc]
+        xyz_sel = _select_class(xyz_map[..., mask_outc + region_outc:],
+                                cls, num_cls)
+        nml_sel = _select_class(nml_map, cls, num_cls)
+        nml_sel = nml_sel / jnp.maximum(
+            jnp.linalg.norm(nml_sel, axis=-1, keepdims=True), 1e-8)
+
+        xyz_emb = _gather_pixels(xyz_sel, choose)
+        nml_emb = _gather_pixels(nml_sel, choose)
+
+        pred_r, pred_t, t_res = None, None, None
+        if opt_pose:
+            fusion_cls = (FusionNetLite if self.fusion_variant == "lite"
+                          else FusionNet)
+            feat = fusion_cls(
+                neighbor_num=m.gcn3d.neighbor_num,
+                support_num=m.gcn3d.support_num,
+                norm=m.norm, dtype=self.dtype)(p_emb, xyz_emb, nml_emb, train)
+            onehot = jax.nn.one_hot(cls, num_cls, dtype=feat.dtype)
+            onehot = jnp.broadcast_to(onehot[:, None, :],
+                                      feat.shape[:2] + (num_cls,))
+            feat = jnp.concatenate([feat, onehot], axis=-1)
+
+            green, red, t_res = PoseNet(
+                enable_rot=self.enable_rot, norm=m.norm,
+                dtype=self.dtype)(feat, train)
+            pred_t = jnp.mean(p_emb + t_res, axis=1)  # krrn.py:153
+            if self.enable_rot:
+                from pose_estimation_tpu.models.posenet import (
+                    rot_mat_y_first, vertical_rot_vectors)
+                gv = green[:, 1:] / jnp.maximum(
+                    jnp.linalg.norm(green[:, 1:], axis=-1, keepdims=True), 1e-6)
+                rv = red[:, 1:] / jnp.maximum(
+                    jnp.linalg.norm(red[:, 1:], axis=-1, keepdims=True), 1e-6)
+                cg = jax.nn.sigmoid(green[:, :1])
+                cr = jax.nn.sigmoid(red[:, :1])
+                new_y, new_x = vertical_rot_vectors(cr, cg, rv, gv)
+                pred_r = rot_mat_y_first(new_y, new_x)
+
+        return {
+            "xyz": xyz_sel,          # [B, H, W, 3]
+            "region": pred_region,   # [B, H, W, num_regions + 1]
+            "mask": pred_mask,       # [B, H, W, num_cls + 1]
+            "normal": nml_sel,       # [B, H, W, 3]
+            "xyz_emb": xyz_emb,      # [B, N, 3]
+            "pred_r": pred_r,
+            "pred_t": pred_t,
+            "t_res": t_res,
+        }

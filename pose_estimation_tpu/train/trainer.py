@@ -1,0 +1,156 @@
+"""Trainer: epoch loops, eval with on-device pose recovery, checkpointing.
+
+Rebuild of tools/trainer.py (Trainer) with the reference's control flow —
+opt_pose gating by START_POSE_EPOCH (train.py:187-228), best-model tracking
+and manual LR decay on margin (tools/trainer.py:354-368), periodic
+checkpoints — on top of compiled sharded steps (parallel/train_step.py),
+JSONL metrics logging, and orbax checkpoints.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pose_estimation_tpu.configs.schema import Config
+from pose_estimation_tpu.metrics.metric import PerObjectAccumulator
+from pose_estimation_tpu.models.krrn import KRRN
+from pose_estimation_tpu.parallel.mesh import make_mesh, shard_batch
+from pose_estimation_tpu.parallel.train_step import (
+    build_eval_step, build_train_step)
+from pose_estimation_tpu.train.checkpoint import CheckpointManager
+from pose_estimation_tpu.train.optim import make_optimizer
+from pose_estimation_tpu.train.state import TrainState
+from pose_estimation_tpu.data.batching import epoch_indices, make_batch
+
+
+class MetricsLogger:
+    """JSONL + console logging (replaces per-epoch file loggers and the
+    TensorBoard SummaryWriter wiring, tools/trainer.py:109-131)."""
+
+    def __init__(self, log_dir: str, name: str = "train"):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, f"{name}.jsonl")
+        self.f = open(self.path, "a")
+
+    def log(self, step: int, payload: dict, echo: bool = False):
+        rec = {"step": int(step), "time": time.time()}
+        rec.update({k: (float(v) if np.isscalar(v) or getattr(
+            v, "ndim", 1) == 0 else v) for k, v in payload.items()})
+        self.f.write(json.dumps(rec) + "\n")
+        self.f.flush()
+        if echo:
+            print(json.dumps(rec))
+
+
+class Trainer:
+    def __init__(self, cfg: Config, dataset, test_dataset=None,
+                 log_dir: str = "runs/default", model=None):
+        self.cfg = cfg
+        self.dataset = dataset
+        self.test_dataset = test_dataset or dataset
+        self.mesh = make_mesh(cfg.mesh.data, cfg.mesh.model)
+        self.model = model or KRRN(
+            cfg=cfg, dtype=jnp.bfloat16 if cfg.train.amp else jnp.float32)
+        self.tx = make_optimizer(cfg)
+        self.train_step = build_train_step(self.model, self.tx, cfg)
+        self.eval_step = build_eval_step(self.model, cfg)
+        self.log = MetricsLogger(log_dir, "train")
+        self.eval_log = MetricsLogger(log_dir, "eval")
+        self.ckpt = CheckpointManager(os.path.join(log_dir, "ckpt"))
+        self.state = None
+
+    def init_state(self, key=None) -> TrainState:
+        key = key if key is not None else jax.random.PRNGKey(self.cfg.seed)
+        k_init, k_state, k_batch = jax.random.split(key, 3)
+        batch = make_batch(self.dataset, [0], k_batch,
+                           self.cfg.data.input_size,
+                           self.cfg.data.num_points)
+        variables = self.model.init(
+            {"params": k_init, "pool": k_init, "dropout": k_init},
+            batch["img"], batch["cloud"], batch["choose"], batch["cls"],
+            train=False)
+        self.state = TrainState.create(
+            variables["params"], self.tx, k_state,
+            batch_stats=variables.get("batch_stats"))
+        restored = self.ckpt.restore(self.state)
+        if restored is not None:
+            self.state = restored
+        return self.state
+
+    def train_epoch(self, epoch: int, steps: int | None = None):
+        cfg = self.cfg
+        key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), epoch)
+        batches = epoch_indices(key, len(self.dataset), cfg.train.batch_size)
+        if steps is not None:
+            batches = batches[:steps]
+        opt_pose = (cfg.train.enable_pose
+                    and epoch >= cfg.train.start_pose_epoch)
+        t0 = time.time()
+        for bi, idx in enumerate(batches):
+            batch = make_batch(self.dataset, idx,
+                               jax.random.fold_in(key, bi),
+                               cfg.data.input_size, cfg.data.num_points)
+            batch = shard_batch(self.mesh, batch)
+            self.state, metrics = self.train_step(self.state, batch,
+                                                  opt_pose=opt_pose)
+            if bi % 20 == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["epoch"] = epoch
+                m["sec_per_step"] = (time.time() - t0) / (bi + 1)
+                self.log.log(int(self.state.step), m)
+        return self.state
+
+    def test_epoch(self, epoch: int, max_batches: int | None = None):
+        cfg = self.cfg
+        acc = PerObjectAccumulator(cfg.module.num_cls)
+        key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 2), epoch)
+        batches = epoch_indices(key, len(self.test_dataset),
+                                cfg.train.batch_size)
+        if max_batches is not None:
+            batches = batches[:max_batches]
+        for bi, idx in enumerate(batches):
+            batch = make_batch(self.test_dataset, idx,
+                               jax.random.fold_in(key, bi + 1000),
+                               cfg.data.input_size, cfg.data.num_points)
+            batch = shard_batch(self.mesh, batch)
+            out = self.eval_step(self.state, batch,
+                                 jax.random.fold_in(key, bi))
+            acc.update(np.asarray(batch["cls"]),
+                       {k: np.asarray(v) for k, v in out.items()
+                        if np.asarray(v).ndim == 1})
+        summary = acc.summary()
+        mean_dis = summary["overall"].get("add_dis", float("inf"))
+        self.eval_log.log(int(self.state.step),
+                          {"epoch": epoch, **summary["overall"]}, echo=True)
+
+        # Best-model tracking + manual LR decay on margin
+        # (tools/trainer.py:354-368).
+        if mean_dis < float(self.state.best_dis):
+            self.state = self.state.replace(
+                best_dis=jnp.asarray(mean_dis, jnp.float32))
+            self.ckpt.save(int(self.state.step), self.state,
+                           metrics={"add_dis": mean_dis})
+        if (self.cfg.train.lr.scheduler == "manual"
+                and mean_dis < self.cfg.train.lr.decay_margin):
+            self.state = self.state.replace(
+                lr_scale=self.state.lr_scale * self.cfg.train.lr.decay_rate)
+        return summary
+
+    def fit(self, num_epochs: int | None = None,
+            steps_per_epoch: int | None = None,
+            eval_every: int = 1):
+        if self.state is None:
+            self.init_state()
+        num_epochs = num_epochs or self.cfg.train.num_epoch
+        for epoch in range(num_epochs):
+            self.train_epoch(epoch, steps_per_epoch)
+            if (epoch + 1) % eval_every == 0:
+                self.test_epoch(epoch)
+        return self.state

@@ -8,7 +8,12 @@ Must set flags before jax initializes its backends.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The image's sitecustomize registers the axon TPU backend whenever
+# PALLAS_AXON_POOL_IPS is set and prepends it to jax_platforms — clearing
+# the var is the only way to get a true CPU run (JAX_PLATFORMS=cpu alone is
+# overridden by the plugin registration).
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

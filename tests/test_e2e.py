@@ -1,0 +1,113 @@
+"""End-to-end slice: synthetic render -> device preprocess -> tiny KRRN ->
+loss -> optimizer steps -> on-device PnP eval. The first-milestone slice of
+SURVEY.md section 7.2, exercising every boundary (data->device,
+model->solver, loss chamfer) at tiny shapes on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pose_estimation_tpu.configs import schema
+from pose_estimation_tpu.core.geometry.rotations import angular_distance
+from pose_estimation_tpu.data.batching import make_batch
+from pose_estimation_tpu.data.pipeline import denormalize_xyz
+from pose_estimation_tpu.data.synthetic import SyntheticPoseDataset
+from pose_estimation_tpu.models.krrn import KRRN
+from pose_estimation_tpu.core.solvers import pnp_ransac
+
+
+TINY_STAGES = (
+    (1, 1, (8, 8)),
+    (1, 1, (8, 8, 16)),
+    (1, 1, (8, 8, 16, 16)),
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return schema.override(
+        schema.Config(),
+        **{"module.num_cls": 2, "data.num_regions": 8,
+           "data.num_points": 128, "data.input_size": 64,
+           "module.backbone_outc": 16, "train.batch_size": 2,
+           "train.amp": False,
+           "module.hrnet_stages": TINY_STAGES, "module.stem_width": 8,
+           "module.xyznet": schema.HeadConfig(hidden=16),
+           "module.nmlnet": schema.HeadConfig(hidden=16),
+           "module.gcn3d": schema.Gcn3dConfig(neighbor_num=4, support_num=2)})
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    return SyntheticPoseDataset(num_objects=2, frames_per_object=4,
+                                im_h=240, im_w=320, num_regions=8)
+
+
+class TestPipeline:
+    def test_batch_contents(self, dataset, key, tiny_cfg):
+        batch = make_batch(dataset, [0, 1], key, crop_size=64, num_points=128)
+        assert batch["img"].shape == (2, 64, 64, 3)
+        assert batch["cloud"].shape == (2, 128, 3)
+        assert batch["choose"].shape == (2, 128)
+        assert batch["xyz"].shape == (2, 64, 64, 3)
+        # labels normalized to [0, 1] on valid pixels
+        valid = np.asarray(batch["valid"])
+        xyz = np.asarray(batch["xyz"])
+        assert xyz[valid].min() >= -0.01 and xyz[valid].max() <= 1.01
+        # cloud depth positive at valid points
+        assert np.asarray(batch["cloud"])[..., 2].min() > 0
+
+    def test_cloud_matches_pose(self, dataset, key):
+        """Backprojected cloud ~= gt-posed model coordinates of the same
+        pixels (the geometric consistency the whole method rests on)."""
+        batch = make_batch(dataset, [0], key, crop_size=64, num_points=128)
+        # gt 'coordinate' at chosen pixels, transformed by gt pose, must
+        # land on the backprojected depth cloud.
+        xyz = denormalize_xyz(batch["xyz"], batch["lf_border"],
+                              batch["extent"])
+        b, s, _, _ = xyz.shape
+        flat = xyz.reshape(b, s * s, 3)
+        coords = jnp.take_along_axis(flat, batch["choose"][..., None], 1)
+        posed = coords @ jnp.swapaxes(batch["target_r"], -1, -2) \
+            + batch["target_t"][:, None]
+        err = np.linalg.norm(np.asarray(posed - batch["cloud"]), axis=-1)
+        assert np.median(err) < 0.01, np.median(err)
+
+
+class TestTrainEval:
+    def test_train_steps_reduce_loss(self, dataset, tiny_cfg):
+        from pose_estimation_tpu.train.trainer import Trainer
+        import tempfile
+        with tempfile.TemporaryDirectory() as td:
+            tr = Trainer(tiny_cfg, dataset, log_dir=td)
+            tr.init_state()
+            losses = []
+            key = jax.random.PRNGKey(7)
+            batch = make_batch(dataset, [0, 1], key,
+                               tiny_cfg.data.input_size,
+                               tiny_cfg.data.num_points)
+            for i in range(8):
+                tr.state, m = tr.train_step(tr.state, batch, opt_pose=True)
+                losses.append(float(m["loss"]))
+            assert np.isfinite(losses).all()
+            assert losses[-1] < losses[0], losses
+
+    def test_eval_pnp_on_gt_maps(self, dataset, key):
+        """Feed GROUND-TRUTH xyz maps through the eval pose recovery: PnP
+        must recover the gt rotation (validates the full eval arm without
+        a trained model — the parity harness of SURVEY.md section 7.3.1)."""
+        batch = make_batch(dataset, [0], key, crop_size=64, num_points=256)
+        xyz = denormalize_xyz(batch["xyz"], batch["lf_border"],
+                              batch["extent"])
+        b, s, _, _ = xyz.shape
+        flat = xyz.reshape(b, s * s, 3)
+        pw = jnp.take_along_axis(flat, batch["choose"][..., None], 1)[0]
+        uv = batch["xy_choosed"][0]
+        out = pnp_ransac(key, pw, uv, batch["k"][0], inlier_px=3.0)
+        ang = float(angular_distance(out["r"], batch["target_r"][0]))
+        terr = float(jnp.linalg.norm(out["t"] - batch["target_t"][0]))
+        assert ang < 3.0, ang
+        # translation tolerance is loose: labels are nearest-sampled at
+        # crop res (the deployed pipeline takes t from regression anyway)
+        assert terr < 0.05, terr

@@ -1,0 +1,142 @@
+"""Model shape/grad smoke tests (the reference's per-module smoke main()s,
+SURVEY.md section 4.1, promoted to real pytest units at tiny shapes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pose_estimation_tpu.configs import schema
+from pose_estimation_tpu.models.fusion import FusionNet, FusionNetLite
+from pose_estimation_tpu.models.gcn3d import ConvLayer, ConvSurface, PoolLayer
+from pose_estimation_tpu.models.hrnet import HRNet
+from pose_estimation_tpu.models.krrn import KRRN
+from pose_estimation_tpu.models.posenet import (
+    PoseNet, rot_mat_y_first, vertical_rot_vectors)
+from pose_estimation_tpu.core import pointops as po
+
+TINY_STAGES = (
+    (1, 1, (8, 8)),
+    (1, 1, (8, 8, 16)),
+    (1, 1, (8, 8, 16, 16)),
+)
+
+
+class TestHRNet:
+    def test_output_shapes(self, key):
+        model = HRNet(backbone_outc=32, stages=TINY_STAGES, stem_width=8)
+        x = jnp.zeros((2, 64, 64, 3))
+        params = model.init(key, x)
+        fq, fh = model.apply(params, x)
+        assert fq.shape == (2, 16, 16, 32)   # 1/4 res
+        assert fh.shape == (2, 32, 32, 32)   # 1/2 res
+
+
+class TestGCN3D:
+    def test_conv_surface(self, key, rng):
+        pts = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+        idx = po.knn_indices(pts, 5)
+        m = ConvSurface(kernel_num=16, support_num=3)
+        params = m.init(key, idx, pts)
+        out = m.apply(params, idx, pts)
+        assert out.shape == (2, 64, 16)
+
+    def test_conv_layer(self, key, rng):
+        pts = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+        f = jnp.asarray(rng.randn(2, 64, 16).astype(np.float32))
+        idx = po.knn_indices(pts, 5)
+        m = ConvLayer(out_channel=24, support_num=3)
+        params = m.init(key, idx, pts, f)
+        out = m.apply(params, idx, pts, f)
+        assert out.shape == (2, 64, 24)
+
+    def test_pool_layer_deterministic_without_rng(self, key, rng):
+        pts = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+        f = jnp.asarray(rng.randn(2, 64, 16).astype(np.float32))
+        m = PoolLayer(4, 4)
+        params = m.init(key, pts, f)
+        v1, f1 = m.apply(params, pts, f)
+        v2, f2 = m.apply(params, pts, f)
+        assert v1.shape == (2, 16, 3) and f1.shape == (2, 16, 16)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+    def test_pool_layer_random_with_rng(self, key, rng):
+        pts = jnp.asarray(rng.randn(1, 64, 3).astype(np.float32))
+        f = jnp.asarray(rng.randn(1, 64, 8).astype(np.float32))
+        m = PoolLayer(4, 4)
+        params = m.init({"params": key, "pool": key}, pts, f)
+        va, _ = m.apply(params, pts, f, rngs={"pool": jax.random.PRNGKey(1)})
+        vb, _ = m.apply(params, pts, f, rngs={"pool": jax.random.PRNGKey(2)})
+        assert not np.array_equal(np.asarray(va), np.asarray(vb))
+
+
+class TestFusion:
+    def test_lite_shape(self, key, rng):
+        v, x, n = (jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+                   for _ in range(3))
+        m = FusionNetLite(neighbor_num=5, support_num=2)
+        params = m.init(key, v, x, n)
+        out = m.apply(params, v, x, n)
+        assert out.shape == (2, 64, 128 * 3 + 128 * 3 + 512)  # 1280
+
+    def test_full_shape(self, key, rng):
+        v, x, n = (jnp.asarray(rng.randn(1, 64, 3).astype(np.float32))
+                   for _ in range(3))
+        m = FusionNet(neighbor_num=5, support_num=2)
+        params = m.init(key, v, x, n)
+        out = m.apply(params, v, x, n)
+        assert out.shape == (1, 64, 512 + 384 + 768)  # 1664
+
+
+class TestPoseHeads:
+    def test_posenet_t_only(self, key, rng):
+        feat = jnp.asarray(rng.randn(2, 64, 128).astype(np.float32))
+        m = PoseNet(enable_rot=False)
+        params = m.init(key, feat)
+        g, r, t = m.apply(params, feat)
+        assert g is None and r is None and t.shape == (2, 64, 3)
+
+    def test_rot_utils(self, rng):
+        v1 = jnp.asarray(rng.randn(4, 3).astype(np.float32))
+        v1 = v1 / jnp.linalg.norm(v1, axis=-1, keepdims=True)
+        v2 = jnp.asarray(rng.randn(4, 3).astype(np.float32))
+        v2 = v2 / jnp.linalg.norm(v2, axis=-1, keepdims=True)
+        c = jnp.ones((4, 1)) * 0.5
+        y, x = vertical_rot_vectors(c, c, v1, v2)
+        m = rot_mat_y_first(y, x)
+        det = np.linalg.det(np.asarray(m))
+        np.testing.assert_allclose(det, 1.0, atol=1e-2)
+
+
+class TestKRRN:
+    @pytest.fixture(scope="class")
+    def tiny_cfg(self):
+        return schema.override(
+            schema.Config(),
+            **{"module.num_cls": 3, "data.num_regions": 8,
+               "module.xyznet": schema.HeadConfig(hidden=16),
+               "module.nmlnet": schema.HeadConfig(hidden=16),
+               "module.backbone_outc": 16,
+               "module.hrnet_stages": TINY_STAGES, "module.stem_width": 8,
+               "module.gcn3d": schema.Gcn3dConfig(neighbor_num=4,
+                                                  support_num=2)})
+
+    def test_forward_shapes(self, key, rng, tiny_cfg):
+        b, h, n = 2, 32, 64
+        x = jnp.asarray(rng.rand(b, h, h, 3).astype(np.float32))
+        p = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+        choose = jnp.asarray(rng.randint(0, h * h, (b, n)))
+        cls = jnp.asarray(rng.randint(0, 3, (b,)))
+
+        model = KRRN(cfg=tiny_cfg)
+        params = model.init(key, x, p, choose, cls)
+        out = model.apply(params, x, p, choose, cls)
+
+        assert out["xyz"].shape == (b, h, h, 3)
+        assert out["normal"].shape == (b, h, h, 3)
+        assert out["mask"].shape == (b, h, h, 3 + 1)
+        assert out["region"].shape == (b, h, h, 8 + 1)
+        assert out["pred_t"].shape == (b, 3)
+        # normals are unit
+        nn_ = np.linalg.norm(np.asarray(out["normal"]), axis=-1)
+        np.testing.assert_allclose(nn_, 1.0, atol=1e-3)

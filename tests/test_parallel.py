@@ -1,0 +1,71 @@
+"""Multi-device tests on the virtual 8-device CPU mesh.
+
+The reference's distributed tests needed >= 2 physical GPUs + NCCL
+(version/transparent/scripts/testcode/distrbuted_dataloader.py:24-73);
+these run the real sharded train step on 8 virtual devices and check the
+DistributedSampler-equivalent index sharding.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pose_estimation_tpu.data.batching import epoch_indices
+from pose_estimation_tpu.parallel.mesh import (
+    batch_sharding, make_mesh, shard_batch)
+
+
+class TestMesh:
+    def test_make_mesh_all_devices(self):
+        mesh = make_mesh()
+        assert mesh.shape["data"] == len(jax.devices())
+        assert mesh.shape["model"] == 1
+
+    def test_shard_batch_divisible(self):
+        mesh = make_mesh()
+        n = mesh.shape["data"]
+        batch = {"x": jnp.arange(n * 4.0).reshape(n, 4)}
+        out = shard_batch(mesh, batch)
+        assert out["x"].sharding == batch_sharding(mesh)
+
+    def test_shard_batch_fallback_replicates(self):
+        mesh = make_mesh()
+        batch = {"x": jnp.ones((3, 2))}  # 3 not divisible by 8
+        out = shard_batch(mesh, batch)   # must not raise
+        np.testing.assert_array_equal(np.asarray(out["x"]), 1.0)
+
+    def test_psum_over_mesh(self):
+        """Gradient-reduction pattern: per-device partial sums psum'd."""
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+        mesh = make_mesh()
+        n = mesh.shape["data"]
+        x = jnp.arange(float(n))
+
+        def f(xs):
+            return jax.lax.psum(xs.sum(), "data")
+
+        out = shard_map(f, mesh=mesh, in_specs=P("data"), out_specs=P())(x)
+        np.testing.assert_allclose(float(out), sum(range(n)))
+
+
+class TestEpochIndices:
+    def test_disjoint_shards_cover_everything(self, key):
+        """DistributedSampler semantics (train.py:1239): per-shard index
+        sets are disjoint and their union covers the permutation."""
+        shards = [epoch_indices(key, 64, 4, shard_count=4, shard_index=i)
+                  for i in range(4)]
+        flat = np.concatenate([s.reshape(-1) for s in shards])
+        assert len(set(flat.tolist())) == len(flat)
+        assert len(flat) == 64
+
+    def test_reshuffles_per_epoch(self, key):
+        a = epoch_indices(jax.random.fold_in(key, 0), 32, 4)
+        b = epoch_indices(jax.random.fold_in(key, 1), 32, 4)
+        assert not np.array_equal(a, b)
+
+
+class TestDryRun:
+    def test_dryrun_multichip_8(self):
+        import __graft_entry__ as g
+        g.dryrun_multichip(len(jax.devices()))

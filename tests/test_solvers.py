@@ -1,0 +1,140 @@
+"""Solver tests: EPnP / LM / RANSAC-PnP against synthetic ground truth and
+the cv2.solvePnP oracle (the parity harness SURVEY.md section 7.3 calls for)."""
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pose_estimation_tpu.core import geometry as geo
+from pose_estimation_tpu.core.solvers import (
+    epnp, refine_pose_lm, pnp_ransac, pnp_ransac_batch, pnp_implicit)
+
+K = np.array([[572.4114, 0, 325.2611],
+              [0, 573.57043, 242.04899],
+              [0, 0, 1]], np.float32)
+
+
+def _make_case(rng, n=64, noise=0.0, planar=False):
+    """Random rigid pose + object points in front of the camera."""
+    rv = rng.randn(3) * 0.6
+    r_gt, _ = cv2.Rodrigues(rv)
+    t_gt = np.array([rng.uniform(-0.1, 0.1), rng.uniform(-0.1, 0.1),
+                     rng.uniform(0.6, 1.2)])
+    pw = (rng.rand(n, 3) - 0.5) * 0.2
+    if planar:
+        pw[:, 2] = 0.0
+    pc = pw @ r_gt.T + t_gt
+    uv = pc[:, :2] / pc[:, 2:] * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+    uv = uv + rng.randn(n, 2) * noise
+    return (pw.astype(np.float32), uv.astype(np.float32),
+            r_gt.astype(np.float32), t_gt.astype(np.float32))
+
+
+class TestEPnP:
+    def test_exact(self, rng):
+        for i in range(5):
+            pw, uv, r_gt, t_gt = _make_case(rng)
+            r, t = epnp(jnp.asarray(pw), jnp.asarray(uv), jnp.asarray(K))
+            ang = float(geo.angular_distance(r, jnp.asarray(r_gt)))
+            terr = float(jnp.linalg.norm(t - jnp.asarray(t_gt)))
+            assert ang < 0.5, (i, ang)
+            assert terr < 5e-3, (i, terr)
+
+    def test_noisy_close_to_cv2(self, rng):
+        angs_j, angs_cv = [], []
+        for i in range(5):
+            pw, uv, r_gt, t_gt = _make_case(rng, noise=1.0)
+            r, t = epnp(jnp.asarray(pw), jnp.asarray(uv), jnp.asarray(K))
+            ok, rvec, tvec = cv2.solvePnP(
+                pw.astype(np.float64), uv.astype(np.float64),
+                K.astype(np.float64), None, flags=cv2.SOLVEPNP_EPNP)
+            r_cv, _ = cv2.Rodrigues(rvec)
+            angs_j.append(float(geo.angular_distance(r, jnp.asarray(r_gt))))
+            angs_cv.append(float(geo.angular_distance(
+                jnp.asarray(r_cv.astype(np.float32)), jnp.asarray(r_gt))))
+        # within 2x of OpenCV's EPnP accuracy on average, and sane absolutes
+        assert np.mean(angs_j) < max(2.0 * np.mean(angs_cv), 1.5), (
+            angs_j, angs_cv)
+
+
+class TestLM:
+    def test_refines_perturbed_pose(self, rng):
+        pw, uv, r_gt, t_gt = _make_case(rng, noise=0.0)
+        rv_gt = cv2.Rodrigues(r_gt)[0][:, 0]
+        pose0 = jnp.asarray(np.concatenate(
+            [rv_gt + rng.randn(3) * 0.05, t_gt + rng.randn(3) * 0.02]),
+            jnp.float32)
+        w = jnp.ones((pw.shape[0],), jnp.float32)
+        pose, mse = refine_pose_lm(pose0, jnp.asarray(pw), jnp.asarray(uv),
+                                   jnp.asarray(K), w, iters=15)
+        assert float(mse) < 1e-3
+        r = geo.axis_angle_to_matrix(pose[:3])
+        assert float(geo.angular_distance(r, jnp.asarray(r_gt))) < 0.2
+
+
+class TestRansac:
+    def test_with_outliers(self, rng, key):
+        pw, uv, r_gt, t_gt = _make_case(rng, n=128, noise=0.3)
+        # corrupt 30% of correspondences
+        bad = rng.choice(128, 38, replace=False)
+        uv_c = uv.copy()
+        uv_c[bad] += rng.randn(38, 2) * 80 + 40
+        out = pnp_ransac(key, jnp.asarray(pw), jnp.asarray(uv_c),
+                         jnp.asarray(K), inlier_px=2.0)
+        ang = float(geo.angular_distance(out["r"], jnp.asarray(r_gt)))
+        terr = float(jnp.linalg.norm(out["t"] - jnp.asarray(t_gt)))
+        assert ang < 1.0, ang
+        assert terr < 0.01, terr
+        assert int(out["num_inliers"]) > 70
+
+    def test_respects_mask(self, rng, key):
+        pw, uv, r_gt, t_gt = _make_case(rng, n=64)
+        # garbage in the masked-out tail must not affect the solution
+        pw2 = np.concatenate([pw, rng.randn(64, 3).astype(np.float32)])
+        uv2 = np.concatenate([uv, rng.rand(64, 2).astype(np.float32) * 640])
+        mask = np.concatenate([np.ones(64), np.zeros(64)]).astype(np.float32)
+        out = pnp_ransac(key, jnp.asarray(pw2), jnp.asarray(uv2),
+                         jnp.asarray(K), jnp.asarray(mask))
+        ang = float(geo.angular_distance(out["r"], jnp.asarray(r_gt)))
+        assert ang < 0.5, ang
+
+    def test_batched(self, rng, key):
+        cases = [_make_case(rng, n=64) for _ in range(3)]
+        pw = jnp.asarray(np.stack([c[0] for c in cases]))
+        uv = jnp.asarray(np.stack([c[1] for c in cases]))
+        out = pnp_ransac_batch(key, pw, uv, jnp.asarray(K))
+        for b in range(3):
+            ang = float(geo.angular_distance(
+                out["r"][b], jnp.asarray(cases[b][2])))
+            assert ang < 0.5, (b, ang)
+
+
+class TestImplicitDiff:
+    def test_gradients_match_finite_difference(self, rng, key):
+        # LM from a near-GT init (RANSAC's discrete hypothesis selection
+        # would make finite differences jumpy; the IFT gradient itself is
+        # selection-independent once the pose is at a stationary point).
+        from pose_estimation_tpu.core.solvers import refine_pose_lm
+        pw, uv, r_gt, t_gt = _make_case(rng, n=32, noise=0.5)
+        w = jnp.ones((32,), jnp.float32)
+        pw_j, uv_j, k_j = jnp.asarray(pw), jnp.asarray(uv), jnp.asarray(K)
+        rv_gt = cv2.Rodrigues(r_gt)[0][:, 0]
+        pose0 = jnp.asarray(np.concatenate([rv_gt, t_gt]), jnp.float32)
+
+        @jax.jit
+        def solve(uv_in):
+            pose, _ = refine_pose_lm(pose0, pw_j, uv_in, k_j, w, iters=30)
+            pose = pnp_implicit(pose, pw_j, uv_in, k_j, w)
+            return jnp.sum(pose * jnp.arange(6))
+
+        g = jax.jit(jax.grad(solve))(uv_j)
+        assert np.all(np.isfinite(np.asarray(g)))
+        # finite differences on a few coordinates
+        eps = 0.05
+        for (i, j) in [(0, 0), (5, 1), (17, 0)]:
+            up = solve(uv_j.at[i, j].add(eps))
+            dn = solve(uv_j.at[i, j].add(-eps))
+            fd = (float(up) - float(dn)) / (2 * eps)
+            an = float(g[i, j])
+            assert abs(fd - an) < max(0.15 * abs(fd), 2e-3), (i, j, fd, an)
