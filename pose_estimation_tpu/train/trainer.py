@@ -93,10 +93,10 @@ class Trainer:
         opt_pose = (cfg.train.enable_pose
                     and epoch >= cfg.train.start_pose_epoch)
         t0 = time.time()
-        for bi, idx in enumerate(batches):
-            batch = make_batch(self.dataset, idx,
-                               jax.random.fold_in(key, bi),
-                               cfg.data.input_size, cfg.data.num_points)
+        from pose_estimation_tpu.data.prefetch import prefetched_epoch
+        stream = prefetched_epoch(self.dataset, batches, key,
+                                  cfg.data.input_size, cfg.data.num_points)
+        for bi, batch in enumerate(stream):
             batch = shard_batch(self.mesh, batch)
             self.state, metrics = self.train_step(self.state, batch,
                                                   opt_pose=opt_pose)

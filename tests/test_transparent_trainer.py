@@ -1,0 +1,59 @@
+"""Transparent trainer: one train step + eval step on tiny TRPESNet."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pose_estimation_tpu.models.transparent import TRPESNet
+from pose_estimation_tpu.train.state import TrainState
+from pose_estimation_tpu.train.transparent_trainer import (
+    build_transparent_eval_step, build_transparent_train_step)
+
+
+def _tiny_batch(rng, b=2, h=32, mpts=16):
+    return {
+        "img": jnp.asarray(rng.rand(b, h, h, 3).astype(np.float32)),
+        "intrinsic": jnp.tile(jnp.asarray([[300.0, 300.0, 16.0, 16.0]]),
+                              (b, 1)),
+        "xmap": jnp.tile(jnp.arange(float(h))[None, None, :], (b, h, 1)),
+        "ymap": jnp.tile(jnp.arange(float(h))[None, :, None], (b, 1, h)),
+        "d_scale": jnp.ones((b,)),
+        "obj": jnp.asarray(rng.randint(0, 3, (b,))),
+        "target": jnp.asarray(rng.randn(b, mpts, 3).astype(np.float32) * .05
+                              + [0, 0, 0.8]),
+        "model_points": jnp.asarray(
+            rng.randn(b, mpts, 3).astype(np.float32) * 0.05),
+        "sym_mask": jnp.asarray([1.0, 0.0]),
+        "axis": jnp.asarray([[0, 0, 1.0], [0, 0, 0]]),
+        "r": jnp.broadcast_to(jnp.eye(3), (b, 3, 3)),
+        "t": jnp.tile(jnp.asarray([0.0, 0.0, 0.8]), (b, 1)),
+        "normal": jnp.asarray(rng.randn(b, h, h, 3).astype(np.float32)),
+        "depth": jnp.asarray(rng.rand(b, h, h, 1).astype(np.float32)),
+        "mask": jnp.asarray(rng.rand(b, h, h, 1).astype(np.float32)),
+    }
+
+
+def test_transparent_train_and_eval_step(rng, key):
+    model = TRPESNet(num_points=32, num_obj=3)
+    batch = _tiny_batch(rng)
+    variables = model.init(
+        {"params": key, "choose": key, "dropout": key},
+        batch["img"], batch["intrinsic"], batch["xmap"], batch["ymap"],
+        batch["d_scale"], batch["obj"])
+    tx = optax.adam(1e-4)
+    state = TrainState.create(variables["params"], tx, key)
+
+    train_step = build_transparent_train_step(model, tx)
+    state, losses = train_step(state, batch)
+    for k in ("all_loss", "loss_add", "loss_r", "loss_n", "loss_d",
+              "loss_m"):
+        assert np.isfinite(float(losses[k])), k
+    assert int(state.step) == 1
+
+    eval_step = build_transparent_eval_step(model)
+    out = eval_step(state, batch)
+    assert out["add_dis"].shape == (2,)
+    assert out["pred_r"].shape == (2, 3, 3)
+    det = np.linalg.det(np.asarray(out["pred_r"]))
+    np.testing.assert_allclose(det, 1.0, atol=1e-3)
