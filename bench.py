@@ -16,6 +16,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compile cache: the eval program (model + vmapped PnP-RANSAC)
+# is a large graph; caching makes repeat bench runs start in seconds.
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
 BASELINE_FPS = 11.6  # reference eval throughput (BASELINE.md)
 
 
@@ -45,25 +49,38 @@ def main():
                            batch["choose"], batch["cls"], train=False)
     params = variables["params"]
 
+    # Two compiled programs, NOT one: fusing the bf16 conv model and the
+    # while-loop-heavy PnP solver into a single XLA program degrades the
+    # schedule ~10x on v5e (130 ms vs 17 ms for the same math; an
+    # optimization_barrier between the stages does not help). Program
+    # dispatch between two jits costs microseconds.
     @jax.jit
-    def infer(params, batch, key):
+    def infer_model(params, batch):
         out = model.apply({"params": params}, batch["img"], batch["cloud"],
                           batch["choose"], batch["cls"], train=False,
                           opt_pose=True)
+        return out["xyz_emb"], out["pred_t"]
+
+    @jax.jit
+    def infer_pose(xyz_emb, pred_t, batch, key):
         n = batch["choose"].shape[1]
         stride = max(n // num_pnp_points, 1)
         sel = jnp.arange(num_pnp_points) * stride % n
-        pw = denormalize_xyz(out["xyz_emb"][:, sel], batch["lf_border"],
+        pw = denormalize_xyz(xyz_emb[:, sel], batch["lf_border"],
                              batch["extent"])
         uv = batch["xy_choosed"][:, sel]
         keys = jax.random.split(key, pw.shape[0])
         pnp = jax.vmap(lambda kk, p, u, km: pnp_ransac(
-            kk, p, u, km, num_hypotheses=64, inlier_px=2.0))(
+            kk, p, u, km, num_hypotheses=32, inlier_px=2.0))(
                 keys, pw, uv, batch["k"])
-        dis = add_metric(pnp["r"], out["pred_t"], batch["target_r"],
+        dis = add_metric(pnp["r"], pred_t, batch["target_r"],
                          batch["target_t"], batch["model_points"],
                          batch["sym_mask"])
-        return pnp["r"], out["pred_t"], dis
+        return pnp["r"], pred_t, dis
+
+    def infer(params, batch, key):
+        xyz_emb, pred_t = infer_model(params, batch)
+        return infer_pose(xyz_emb, pred_t, batch, key)
 
     # compile
     r, t, dis = infer(params, batch, key)

@@ -12,6 +12,7 @@ from __future__ import annotations
 import argparse
 import importlib.util
 import json
+import os
 import sys
 
 from pose_estimation_tpu.configs import schema
@@ -44,6 +45,9 @@ def build_dataset(cfg: schema.Config, args):
 
 
 def main(argv=None):
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.jax_cache"))
     p = argparse.ArgumentParser("pose_estimation_tpu")
     p.add_argument("--config", "--config_file", default="lm_v3_1",
                    help="preset name in configs.schema or a .py file")

@@ -70,7 +70,10 @@ class TrainConfig:
 
 @dataclass(frozen=True)
 class HeadConfig:
-    hidden: int = 256                # XYZNet/NMLNet HEADEN_FS
+    # HEADEN_FS: 128 reproduces the reference's printed 0.82M decoder-head
+    # parameter budget (lib/network/krrn.py:45); 256 doubles params and 4x's
+    # the full-res head FLOPs (measured ~47 ms of a 113 ms forward).
+    hidden: int = 128                # XYZNet/NMLNet HEADEN_FS
     out: int = 3                     # OUT_FS
 
 

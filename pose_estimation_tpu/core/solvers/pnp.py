@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from pose_estimation_tpu.core.geometry.rotations import (
     axis_angle_to_matrix, matrix_to_axis_angle)
-from pose_estimation_tpu.core.solvers.epnp import epnp
+from pose_estimation_tpu.core.solvers.epnp import epnp, epnp_fast
 from pose_estimation_tpu.core.solvers.lm import (
     refine_pose_lm, reprojection_residuals)
 from pose_estimation_tpu.core.precision import matmul as _mm
@@ -59,9 +59,15 @@ def pnp_ransac(key: jax.Array, pw: jax.Array, uv: jax.Array, k: jax.Array,
     keys = jax.random.split(key, num_hypotheses)
 
     def hypothesis(hk):
+        # Gather the minimal subset into a dense (sample_size, ...) problem:
+        # running EPnP on the full n-point arrays with a 6-hot weight vector
+        # would cost 40x more flops per hypothesis for identical output.
+        # epnp_fast: the hypothesis stage is latency-bound on TPU (dozens of
+        # tiny sequential kernels per solve), so hypotheses use the
+        # minimal-kernel-count solver; the winner is LM-refined below.
         ids = _masked_choice(hk, n, sample_size, mask)
-        w = jnp.zeros((n,), pw.dtype).at[ids].add(1.0)
-        return epnp(pw, uv, k, weights=w * mask)
+        return epnp_fast(jnp.take(pw, ids, axis=0),
+                         jnp.take(uv, ids, axis=0), k)
 
     rs, ts = jax.vmap(hypothesis)(keys)
 

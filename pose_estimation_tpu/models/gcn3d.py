@@ -51,11 +51,8 @@ class ConvSurface(nn.Module):
         dirs = directions / jnp.maximum(
             jnp.linalg.norm(directions, axis=0, keepdims=True), 1e-12)
         nd = _unit_directions(vertices, neighbor_index)  # [b,n,k,d]
-        theta = nn.relu(jnp.einsum("bnkd,dm->bnkm", nd.astype(self.dtype),
-                                   dirs.astype(self.dtype)))
-        b, n, k, _ = theta.shape
-        theta = theta.reshape(b, n, k, s, o)
-        return jnp.sum(jnp.max(theta, axis=2), axis=2)  # [b,n,o]
+        from pose_estimation_tpu.ops.pallas_gcn import gcn_aggregate
+        return gcn_aggregate(nd, dirs, None, s).astype(self.dtype)
 
 
 class ConvLayer(nn.Module):
@@ -80,18 +77,15 @@ class ConvLayer(nn.Module):
         dirs = directions / jnp.maximum(
             jnp.linalg.norm(directions, axis=0, keepdims=True), 1e-12)
         nd = _unit_directions(vertices, neighbor_index)
-        theta = nn.relu(jnp.einsum("bnkd,dm->bnkm", nd.astype(self.dtype),
-                                   dirs.astype(self.dtype)))  # [b,n,k,s*o]
 
         feat = (feature_map.astype(self.dtype) @ weights.astype(self.dtype)
                 + bias.astype(self.dtype))
         center = feat[..., :o]
         support = feat[..., o:]                                  # [b,n,s*o]
         support = po.gather_neighbors(support, neighbor_index)   # [b,n,k,s*o]
-        act = (theta * support)
-        b, n, k, _ = act.shape
-        act = act.reshape(b, n, k, s, o)
-        return center + jnp.sum(jnp.max(act, axis=2), axis=2)
+        from pose_estimation_tpu.ops.pallas_gcn import gcn_aggregate
+        agg = gcn_aggregate(nd, dirs, support, s).astype(self.dtype)
+        return center + agg
 
 
 class PoolLayer(nn.Module):

@@ -84,7 +84,7 @@ def build_train_step(model, tx, cfg: Config) -> Callable:
 
 
 def build_eval_step(model, cfg: Config, num_pnp_points: int = 256,
-                    pnp_hypotheses: int = 64) -> Callable:
+                    pnp_hypotheses: int = 32) -> Callable:
     """Returns eval_step(params, batch, key) -> dict of per-sample metrics.
 
     Full on-device pose recovery (tools/trainer.py:383-438 equivalent):
@@ -94,24 +94,29 @@ def build_eval_step(model, cfg: Config, num_pnp_points: int = 256,
     """
     use_bn = cfg.module.norm == "bn"
 
+    # Two compiled programs: fusing the conv model with the solver into one
+    # XLA program degrades the v5e schedule ~10x (see bench.py note).
     @jax.jit
-    def eval_step(state, batch, key):
+    def _model_fwd(state, batch):
         variables = {"params": state.params}
         if use_bn:
             variables["batch_stats"] = state.batch_stats
         out = model.apply(variables, batch["img"], batch["cloud"],
                           batch["choose"], batch["cls"], train=False,
                           opt_pose=True)
+        return out["xyz_emb"], out["pred_t"]
 
-        b = batch["img"].shape[0]
+    @jax.jit
+    def _pose_recovery(xyz_emb, pred_t, batch, key):
+        b = xyz_emb.shape[0]
         # subset of chosen pixels for PnP (reference uses 256 random;
         # trainer.py:406-408) — take a strided deterministic subset.
         n = batch["choose"].shape[1]
         stride = max(n // num_pnp_points, 1)
         sel = jnp.arange(num_pnp_points) * stride % n
 
-        xyz_emb = out["xyz_emb"][:, sel]                 # [B, P, 3] normalized
-        pw = denormalize_xyz(xyz_emb, batch["lf_border"], batch["extent"])
+        pw = denormalize_xyz(xyz_emb[:, sel], batch["lf_border"],
+                             batch["extent"])
         uv = batch["xy_choosed"][:, sel]                  # [B, P, 2]
 
         keys = jax.random.split(key, b)
@@ -120,7 +125,6 @@ def build_eval_step(model, cfg: Config, num_pnp_points: int = 256,
         pnp = solve(keys, pw, uv, batch["k"])
 
         pred_r = pnp["r"]
-        pred_t = out["pred_t"]                            # regressed t
         acc = pose_accuracy(pred_r, pred_t, batch["target_r"],
                             batch["target_t"], batch["model_points"],
                             batch["sym_mask"], batch["diameter"])
@@ -129,5 +133,9 @@ def build_eval_step(model, cfg: Config, num_pnp_points: int = 256,
         acc["pred_t"] = pred_t
         acc["num_inliers"] = pnp["num_inliers"]
         return acc
+
+    def eval_step(state, batch, key):
+        xyz_emb, pred_t = _model_fwd(state, batch)
+        return _pose_recovery(xyz_emb, pred_t, batch, key)
 
     return eval_step
