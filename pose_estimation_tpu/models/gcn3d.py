@@ -52,7 +52,8 @@ class ConvSurface(nn.Module):
             jnp.linalg.norm(directions, axis=0, keepdims=True), 1e-12)
         nd = _unit_directions(vertices, neighbor_index)  # [b,n,k,d]
         from pose_estimation_tpu.ops.pallas_gcn import gcn_aggregate
-        return gcn_aggregate(nd, dirs, None, s).astype(self.dtype)
+        return gcn_aggregate(nd, dirs, None, neighbor_index,
+                             s).astype(self.dtype)
 
 
 class ConvLayer(nn.Module):
@@ -82,9 +83,9 @@ class ConvLayer(nn.Module):
                 + bias.astype(self.dtype))
         center = feat[..., :o]
         support = feat[..., o:]                                  # [b,n,s*o]
-        support = po.gather_neighbors(support, neighbor_index)   # [b,n,k,s*o]
         from pose_estimation_tpu.ops.pallas_gcn import gcn_aggregate
-        agg = gcn_aggregate(nd, dirs, support, s).astype(self.dtype)
+        agg = gcn_aggregate(nd, dirs, support, neighbor_index,
+                            s).astype(self.dtype)
         return center + agg
 
 

@@ -1,57 +1,114 @@
-"""Pallas TPU kernel for the 3D-GCN aggregation hot loop.
+"""TPU-optimized 3D-GCN neighbor aggregation.
 
 The gcn3d convolutions (models/gcn3d.py, rebuilt from
 lib/network/point/gcn3d.py:72-216) compute, per point n with k neighbors:
 
     out[n, o] = sum_s max_k relu(<dir_nk, D[:, s, o]>) * F[nbr(n, k), s, o]
 
-Under plain XLA the theta tensor [B, N, K, S*O] (~587 MB at the KRRN
-shapes) and the theta*F product both materialize in HBM — profiled at
-10.4 ms per ConvLayer on v5e, ~3x the pure-bandwidth bound, and the fusion
-block dominated the whole forward (59 of 113 ms). This kernel computes
-theta and the product tile-wise in VMEM; only the XLA-native neighbor
-gather of F still touches HBM.
+Measured landscape on v5e (B=32, N=1024, K=10, S=7, O=128; device-loop
+timing — host loops are unreliable through the axon relay, which dedupes
+identical dispatches):
 
-Forward: pallas. Backward: custom_vjp recomputing theta with XLA ops (the
-training step is throughput-bound on other parts; eval needs only forward).
+  naive XLA (materialize [B,N,K,S*O] theta + gathered F)   10.4 ms
+  hand Pallas kernel, MXU dot / VPU FMA formulations       12.8 / 14.8 ms
+  k-unrolled with per-k take_along_axis gathers            10.0 ms
+  k-unrolled with per-k ONE-HOT MATMUL gathers              4.8 ms  <-- used
+
+Random-access gather is ~7x off peak HBM bandwidth on TPU; casting the
+gather as `onehot(idx) @ F` streams on the MXU instead (60 GFLOP per
+neighbor slot at these shapes — FLOPs are cheaper than random access).
+Peak intermediate is one [B,N,S*O] slab (59 MB), never [B,N,K,S*O].
+
+The Pallas kernel variants are retained behind POSE_TPU_PALLAS_GCN=1 for
+future Mosaic gather support; bf16 throughout (feature math, not solver
+geometry — no HIGHEST precision).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Above this cloud size the one-hot matmul's O(N^2) flops overtake the
+# gather's random-access penalty.
+_ONEHOT_MAX_N = 2048
+
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _agg_kernel(nd_ref, d_ref, fg_ref, o_ref, *, k: int, s: int, o: int,
-                tile: int, with_features: bool):
-    """One tile of points: theta -> relu -> (*Fg) -> max_k -> sum_s.
+def gcn_aggregate(nd, dirs, feats, idx, support_num: int):
+    """out[b,n,o] = sum_s max_k relu(nd . dirs)[k,s,o] * F[idx[n,k], s,o].
 
-    theta is a d=3 contraction — useless on the 128x128 MXU (2%
-    utilization); computed instead as d broadcast FMAs on the VPU. The
-    k-neighbor axis is unrolled to keep every intermediate at (tile, s*o).
+    nd [B,N,K,D] unit neighbor directions; dirs [D, S*O] normalized
+    direction kernels; feats [B,M,S*O] support-feature table (None for
+    ConvSurface, which aggregates theta alone); idx [B,N,K] neighbor ids
+    into feats' second axis.
     """
-    d_dim = nd_ref.shape[-1]
-    dirs = d_ref[...]                              # (d, s*o)
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("POSE_TPU_PALLAS_GCN") == "1"):
+        fg = (None if feats is None else jnp.take_along_axis(
+            feats[:, :, None, :], idx[..., None], axis=1))
+        return _gcn_aggregate_fwd_pallas(nd, dirs, fg, support_num)
+    return _fwd_xla(nd, dirs, feats, idx, support_num)
+
+
+def _fwd_xla(nd, dirs, feats, idx, support_num):
+    dtype = feats.dtype if feats is not None else jnp.bfloat16
+    b, n, k, d_dim = nd.shape
+    so = dirs.shape[-1]
+    s = support_num
+    nd = nd.astype(dtype)
+    dirs = dirs.astype(dtype)
+
+    use_onehot = (feats is not None and feats.shape[1] <= _ONEHOT_MAX_N
+                  and jax.default_backend() == "tpu")
+    if use_onehot:
+        iota = jnp.arange(feats.shape[1])
+
     acc = None
     for kk in range(k):
-        nd_k = nd_ref[0, :, kk, :]                 # (tile, d)
+        theta = jax.nn.relu(jnp.einsum("bnd,dm->bnm", nd[:, :, kk], dirs))
+        if feats is not None:
+            if use_onehot:
+                onehot = (idx[:, :, kk, None] == iota[None, None, :]
+                          ).astype(dtype)
+                fg_k = jnp.einsum("bnm,bmc->bnc", onehot, feats)
+            else:
+                fg_k = jnp.take_along_axis(feats, idx[:, :, kk:kk + 1],
+                                           axis=1)
+            theta = theta * fg_k
+        acc = theta if acc is None else jnp.maximum(acc, theta)
+    return acc.reshape(b, n, s, so // s).sum(axis=2).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel variant (flag-gated; see module docstring for measurements)
+# ---------------------------------------------------------------------------
+
+def _agg_kernel(nd_ref, d_ref, fg_ref, o_ref, *, k: int, s: int, o: int,
+                tile: int, with_features: bool):
+    """One tile of points: theta (VPU FMAs; d=3 is useless on the MXU) ->
+    relu -> (*Fg) -> running max over unrolled k -> sum_s."""
+    d_dim = nd_ref.shape[-1]
+    dirs = d_ref[...]
+    acc = None
+    for kk in range(k):
+        nd_k = nd_ref[0, :, kk, :]
         theta = nd_k[:, 0:1] * dirs[0][None]
         for dd in range(1, d_dim):
             theta = theta + nd_k[:, dd:dd + 1] * dirs[dd][None]
-        theta = jnp.maximum(theta, 0.0)            # (tile, s*o)
+        theta = jnp.maximum(theta, 0.0)
         if with_features:
             theta = theta * fg_ref[0, :, kk, :].astype(jnp.float32)
         acc = theta if acc is None else jnp.maximum(acc, theta)
-    act = acc.reshape(tile, s, o)
-    o_ref[0] = jnp.sum(act, axis=1)
+    o_ref[0] = jnp.sum(acc.reshape(tile, s, o), axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("support_num", "interpret"))
@@ -61,10 +118,10 @@ def _gcn_aggregate_fwd_pallas(nd, dirs, fg, support_num: int,
     so = dirs.shape[-1]
     s = support_num
     o = so // s
-    tile = 64  # (T*k, s*o) f32 theta + Fg block must fit VMEM (~16MB)
+    tile = 64
     n_pad = _round_up(n, tile)
     if fg is not None:
-        fg = fg.astype(jnp.bfloat16)  # halve the VMEM block
+        fg = fg.astype(jnp.bfloat16)
     if n_pad != n:
         nd = jnp.pad(nd, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)))
         if fg is not None:
@@ -81,7 +138,6 @@ def _gcn_aggregate_fwd_pallas(nd, dirs, fg, support_num: int,
             pl.BlockSpec((1, tile, k, so), lambda i, j: (i, j, 0, 0)))
         args.append(fg)
     else:
-        # dummy scalar input keeps the kernel arity static
         in_specs.append(pl.BlockSpec((1, 1), lambda i, j: (0, 0)))
         args.append(jnp.zeros((1, 1), jnp.float32))
 
@@ -97,69 +153,3 @@ def _gcn_aggregate_fwd_pallas(nd, dirs, fg, support_num: int,
         interpret=interpret,
     )(*args)
     return out[:, :n]
-
-
-def _theta_xla(nd, dirs, dtype=jnp.bfloat16):
-    # Feature-path math: bf16 throughout. HIGHEST precision here would
-    # upconvert the [B,N,K,S*O] theta tensor to multi-pass f32 — doubling
-    # the HBM traffic of the hottest tensor in the model for no benefit
-    # (these are learned features, not solver geometry).
-    return jax.nn.relu(jnp.einsum(
-        "bnkd,dm->bnkm", nd.astype(dtype), dirs.astype(dtype)))
-
-
-def _fwd_xla(nd, dirs, fg, support_num):
-    dtype = fg.dtype if fg is not None else jnp.bfloat16
-    theta = _theta_xla(nd, dirs, dtype)
-    b, n, k, so = theta.shape
-    s = support_num
-    act = theta if fg is None else theta * fg
-    act = act.reshape(b, n, k, s, so // s)
-    return jnp.sum(jnp.max(act, axis=2), axis=2).astype(jnp.float32)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def gcn_aggregate(nd, dirs, fg, support_num: int):
-    """out[b,n,o] = sum_s max_k relu(nd . dirs)[k,s,o] (* fg[k,s,o]).
-
-    nd [B,N,K,D] unit neighbor directions; dirs [D, S*O] normalized
-    direction kernels; fg [B,N,K,S*O] gathered support features or None
-    (ConvSurface).
-
-    MEASURED OUTCOME (v5e, B=32 N=1024 K=10 S=7 O=128): XLA's fused
-    einsum+max lowering runs the ConvLayer in 10.4 ms; this Pallas kernel
-    (two formulations: MXU dot and VPU FMA-unrolled) measured 12.8 / 14.8
-    ms — the XLA-native neighbor gather plus block layout conversions
-    dominate, so the hand kernel does NOT pay off on this toolchain.
-    XLA is therefore the default; set POSE_TPU_PALLAS_GCN=1 to use the
-    kernel (kept for future Mosaic gather support, where the feature table
-    could stay VMEM-resident and skip the gather materialization).
-    """
-    import os
-    if (jax.default_backend() == "tpu"
-            and os.environ.get("POSE_TPU_PALLAS_GCN") == "1"):
-        return _gcn_aggregate_fwd_pallas(nd, dirs, fg, support_num)
-    return _fwd_xla(nd, dirs, fg, support_num)
-
-
-def _vjp_fwd(nd, dirs, fg, support_num):
-    return gcn_aggregate(nd, dirs, fg, support_num), (nd, dirs, fg)
-
-
-def _vjp_bwd(support_num, res, g):
-    # Recompute-theta backward in plain XLA: materializes the big tensors
-    # only on the training path, where the step is dominated elsewhere.
-    nd, dirs, fg = res
-
-    def f(nd_, dirs_, fg_):
-        return _fwd_xla(nd_, dirs_, fg_, support_num)
-
-    if fg is None:
-        _, vjp = jax.vjp(lambda a, b: f(a, b, None), nd, dirs)
-        gnd, gdirs = vjp(g)
-        return gnd, gdirs, None
-    _, vjp = jax.vjp(f, nd, dirs, fg)
-    return vjp(g)
-
-
-gcn_aggregate.defvjp(_vjp_fwd, _vjp_bwd)
