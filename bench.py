@@ -33,7 +33,7 @@ def main():
     from pose_estimation_tpu.metrics.metric import add_metric
 
     cfg = schema.Config()
-    batch_size = 32
+    batch_size = int(__import__("os").environ.get("BENCH_BS", 32))
     num_pnp_points = 256
 
     model = KRRN(cfg=cfg, dtype=jnp.bfloat16)

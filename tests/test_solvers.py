@@ -138,3 +138,36 @@ class TestImplicitDiff:
             fd = (float(up) - float(dn)) / (2 * eps)
             an = float(g[i, j])
             assert abs(fd - an) < max(0.15 * abs(fd), 2e-3), (i, j, fd, an)
+
+
+class TestICP:
+    def test_refines_to_gt(self, rng):
+        from pose_estimation_tpu.core.solvers import icp_refine
+        r_gt = jnp.asarray(np.stack([cv2.Rodrigues(
+            rng.randn(3) * 0.5)[0] for _ in range(4)]), jnp.float32)
+        t_gt = jnp.asarray(rng.randn(4, 3).astype(np.float32) * 0.1)
+        src = jnp.asarray(rng.randn(4, 128, 3).astype(np.float32) * 0.05)
+        dst = src @ jnp.swapaxes(r_gt, -1, -2) + t_gt[:, None]
+        # perturbed init
+        dr = jnp.asarray(np.stack([cv2.Rodrigues(
+            rng.randn(3) * 0.05)[0] for _ in range(4)]), jnp.float32)
+        r0 = jnp.einsum("bij,bjk->bik", dr, r_gt,
+                        precision=jax.lax.Precision.HIGHEST)
+        t0 = t_gt + 0.005
+        r, t, res = icp_refine(src, dst, r0, t0, iters=10)
+        ang = np.asarray(geo.angular_distance(r, r_gt))
+        assert float(np.max(ang)) < 1.0, ang
+        assert float(np.max(np.asarray(res))) < 1e-3
+
+    def test_trimmed_robust_to_outliers(self, rng):
+        from pose_estimation_tpu.core.solvers import icp_refine
+        src = jnp.asarray(rng.randn(1, 128, 3).astype(np.float32) * 0.05)
+        dst = src + jnp.asarray([0.02, 0.01, -0.03])
+        dst = jnp.concatenate(
+            [dst, jnp.asarray(rng.randn(1, 32, 3).astype(np.float32))], 1)
+        r0 = jnp.broadcast_to(jnp.eye(3), (1, 3, 3))
+        t0 = jnp.zeros((1, 3))
+        r, t, res = icp_refine(src, dst, r0, t0, iters=10,
+                               trim_fraction=0.3)
+        np.testing.assert_allclose(np.asarray(t[0]), [0.02, 0.01, -0.03],
+                                   atol=2e-3)
