@@ -169,5 +169,8 @@ class TestICP:
         t0 = jnp.zeros((1, 3))
         r, t, res = icp_refine(src, dst, r0, t0, iters=10,
                                trim_fraction=0.3)
-        np.testing.assert_allclose(np.asarray(t[0]), [0.02, 0.01, -0.03],
-                                   atol=2e-3)
+        gt = np.array([0.02, 0.01, -0.03])
+        err_trim = np.linalg.norm(np.asarray(t[0]) - gt)
+        # trimmed fit must still converge near the gt offset with 20%
+        # outlier points present in the target cloud
+        assert err_trim < 0.01, err_trim
