@@ -50,6 +50,7 @@ class LrConfig:
 class OptimizerConfig:
     type: str = "Ranger"             # 'Ranger' | 'Adam'
     weight_decay: float = 0.0
+    grad_clip: float = 10.0          # global-norm clip; 0 disables
 
 
 @dataclass(frozen=True)

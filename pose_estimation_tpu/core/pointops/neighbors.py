@@ -77,17 +77,23 @@ def gather_neighbors(features: jax.Array, index: jax.Array) -> jax.Array:
 
 
 def neighbor_directions(vertices: jax.Array, index: jax.Array,
-                        eps: float = 1e-12) -> jax.Array:
+                        eps: float = 1e-6) -> jax.Array:
     """Unit direction vectors from each point to its k neighbors.
 
     [..., n, 3], [..., n, k] -> [..., n, k, 3].
     Parity: gcn3d.get_neighbor_direction_norm (F.normalize semantics:
-    zero vectors stay zero).
+    zero vectors stay zero). Grad-safe at coincident points (duplicate
+    cloud points from 'wrap'-padded choose): the norm is computed from a
+    clamped squared distance so d/||d||'s gradient stays bounded instead
+    of exploding as 1/||d|| -> inf (observed NaN'ing training).
     """
     neigh = gather_neighbors(vertices, index)
     d = neigh - vertices[..., :, None, :]
-    n = jnp.linalg.norm(d, axis=-1, keepdims=True)
-    return d / jnp.maximum(n, eps)
+    sq = jnp.sum(d * d, axis=-1, keepdims=True)
+    degenerate = sq < eps * eps
+    # where-trick: both branches NaN-free in value AND gradient
+    safe_n = jnp.sqrt(jnp.where(degenerate, 1.0, sq))
+    return jnp.where(degenerate, 0.0, d / safe_n)
 
 
 def farthest_point_sampling(points: jax.Array, num_samples: int,

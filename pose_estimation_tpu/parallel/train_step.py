@@ -70,8 +70,12 @@ def build_train_step(model, tx, cfg: Config) -> Callable:
             loss_fn, has_aux=True)(state.params)
 
         # NaN guard (the reference dumps a ckpt and skips the step,
-        # tools/trainer.py:100-107): skip the update when loss is non-finite.
-        finite = jnp.isfinite(loss)
+        # tools/trainer.py:100-107): skip the update when the loss OR any
+        # gradient is non-finite — an inf gradient under a finite loss is
+        # the usual way params get poisoned.
+        gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                             for g in jax.tree.leaves(grads)))
+        finite = jnp.isfinite(loss) & jnp.isfinite(gnorm)
         grads = jax.tree.map(
             lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
         new_state = state.apply_gradients(tx, grads, new_batch_stats=new_bs,

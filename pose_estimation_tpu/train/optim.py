@@ -101,13 +101,24 @@ def ranger(learning_rate, betas=(0.95, 0.999), eps=1e-5,
 
 
 def make_optimizer(cfg) -> optax.GradientTransformation:
-    """cfg: configs.schema.Config. Dispatch Ranger/Adam (train.py:92-132)."""
+    """cfg: configs.schema.Config. Dispatch Ranger/Adam (train.py:92-132).
+
+    A global-norm gradient clip wraps either optimizer (config
+    train.optimizer.grad_clip; the reference has no clipping and relies on
+    NaN-skip alone — clipping plus the train-step finite-grad guard is the
+    production-robust combination)."""
     sched = make_schedule(cfg)
     opt = cfg.train.optimizer
     if opt.type.lower() == "ranger":
-        return ranger(sched, weight_decay=opt.weight_decay)
-    return optax.adamw(sched, weight_decay=opt.weight_decay) \
-        if opt.weight_decay else optax.adam(sched)
+        core = ranger(sched, weight_decay=opt.weight_decay)
+    elif opt.weight_decay:
+        core = optax.adamw(sched, weight_decay=opt.weight_decay)
+    else:
+        core = optax.adam(sched)
+    clip = getattr(opt, "grad_clip", 0.0)
+    if clip:
+        return optax.chain(optax.clip_by_global_norm(clip), core)
+    return core
 
 
 def flat_and_anneal_schedule(base_lr: float, total_steps: int,

@@ -79,7 +79,12 @@ class Trainer:
         self.state = TrainState.create(
             variables["params"], self.tx, k_state,
             batch_stats=variables.get("batch_stats"))
-        restored = self.ckpt.restore(self.state)
+        try:
+            restored = self.ckpt.restore(self.state)
+        except Exception as e:  # incompatible/stale checkpoint: fresh start
+            print(f"[trainer] checkpoint restore failed ({type(e).__name__});"
+                  " starting fresh")
+            restored = None
         if restored is not None:
             self.state = restored
         return self.state
