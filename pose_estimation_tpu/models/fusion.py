@@ -70,15 +70,17 @@ class FusionNetLite(nn.Module):
         n = vertices.shape[1]
         idx = po.knn_indices(_sg(vertices), k)
 
-        surf = [ConvSurface(128, self.support_num, dtype=self.dtype)
-                for _ in range(3)]
-        fm_0 = [nn.relu(c(idx, p))
-                for c, p in zip(surf, (vertices, xyz, normal))]
-        conv1 = MultiConvLayer(128, self.support_num, 3, self.dtype)
-        norms1 = [Norm(self.norm, dtype=self.dtype) for _ in range(3)]
-        fm_1_v, fm_1_x, fm_1_n = [
-            nn.relu(nm(f, train)) for nm, f in zip(
-                norms1, conv1(idx, [vertices, xyz, normal], fm_0))]
+        # NOTE: a MultiConvLayer variant batching the 3 streams' gathers
+        # into one concatenated one-hot matmul measured slightly SLOWER
+        # end-to-end (317 vs 340 fps) — the concat materialization eats the
+        # mask-sharing win; per-stream layers kept.
+        sv = _Stream(128, 128, 128, self.support_num, self.norm, self.dtype)
+        sx = _Stream(128, 128, 128, self.support_num, self.norm, self.dtype)
+        sn = _Stream(128, 128, 128, self.support_num, self.norm, self.dtype)
+
+        fm_1_v = sv.level0(idx, vertices, train)
+        fm_1_x = sx.level0(idx, xyz, train)
+        fm_1_n = sn.level0(idx, normal, train)
 
         feat_1 = jnp.concatenate([fm_1_v, fm_1_x, fm_1_n], -1)  # [B,N,384]
         feat_9d = jnp.concatenate([vertices, xyz, normal], -1)  # [B,N,9]
@@ -97,12 +99,9 @@ class FusionNetLite(nn.Module):
         k1 = max(1, min(k, v_p1.shape[1] // 8))
         idx1 = po.knn_indices(_sg(v_p1), k1)
 
-        conv2 = MultiConvLayer(128, self.support_num, 3, self.dtype)
-        norms2 = [Norm(self.norm, dtype=self.dtype) for _ in range(3)]
-        fm_2_v, fm_2_x, fm_2_n = [
-            nn.relu(nm(f, train)) for nm, f in zip(
-                norms2, conv2(idx1, [v_p1, x_p1, n_p1],
-                              [f_p1_v, f_p1_x, f_p1_n]))]
+        fm_2_v = sv.level1(idx1, v_p1, f_p1_v, train)
+        fm_2_x = sx.level1(idx1, x_p1, f_p1_x, train)
+        fm_2_n = sn.level1(idx1, n_p1, f_p1_n, train)
 
         feat_2 = jnp.concatenate([fm_2_v, fm_2_x, fm_2_n], -1)  # [B,N/4,384]
         pool_2, f_pool_2 = pool_c2(pool_1, feat_2)
