@@ -86,12 +86,23 @@ def main():
     r, t, dis = infer(params, batch, key)
     jax.block_until_ready((r, t, dis))
 
-    # timed
+    # timed — each iteration a DISTINCT batch (the axon relay dedupes
+    # byte-identical dispatches, so timing identical args flatters fps;
+    # VERDICT r1 weak #2). Image perturbation changes every downstream
+    # tensor; device-resident so no H2D in the timed loop.
     iters = 10
-    t0 = time.perf_counter()
+    batches = []
     for i in range(iters):
-        r, t, dis = infer(params, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready((r, t, dis))
+        bi = dict(batch)
+        bi["img"] = batch["img"] + jnp.float32(1e-4) * (i + 1)
+        batches.append(bi)
+    jax.block_until_ready([bi["img"] for bi in batches])
+
+    t0 = time.perf_counter()
+    outs = []
+    for i in range(iters):
+        outs.append(infer(params, batches[i], jax.random.fold_in(key, i)))
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     fps = batch_size * iters / dt
 

@@ -30,17 +30,30 @@ def load_config(spec: str) -> schema.Config:
     return factory()
 
 
-def build_dataset(cfg: schema.Config, args):
+def build_dataset(cfg: schema.Config, args, mode: str = "train"):
     if cfg.dataset == "synthetic" or args.synthetic:
-        from pose_estimation_tpu.data.synthetic import SyntheticPoseDataset
-        return SyntheticPoseDataset(
+        from pose_estimation_tpu.data.synthetic import (
+            SyntheticPoseDataset, SyntheticTransparentDataset)
+        ds_cls = (SyntheticTransparentDataset
+                  if cfg.pipeline == "transparent" else SyntheticPoseDataset)
+        return ds_cls(
             num_objects=cfg.module.num_cls,
             frames_per_object=args.frames_per_object,
             num_regions=cfg.data.num_regions)
     if cfg.dataset == "linemod":
         from pose_estimation_tpu.data.linemod import LinemodDataset
-        return LinemodDataset(args.dataset_root, mode="train",
+        return LinemodDataset(args.dataset_root, mode=mode,
                               cls_type=cfg.cls_type, cfg=cfg)
+    if cfg.dataset == "ycb":
+        from pose_estimation_tpu.data.ycb import YCBVideoDataset
+        split = "train_real" if mode == "train" else "test"
+        return YCBVideoDataset(args.dataset_root, split=split,
+                               cls_type=cfg.cls_type,
+                               num_regions=cfg.data.num_regions)
+    if cfg.dataset == "cleargrasp":
+        from pose_estimation_tpu.data.cleargrasp import ClearGraspDataset
+        return ClearGraspDataset(
+            args.dataset_root, split="train" if mode == "train" else "val")
     raise SystemExit(f"unknown dataset: {cfg.dataset}")
 
 
@@ -59,6 +72,9 @@ def main(argv=None):
     p.add_argument("--eval_mode", action="store_true")
     p.add_argument("--resume", "--resume_posenet", dest="resume",
                    default=None, help="checkpoint dir (orbax) to resume")
+    p.add_argument("--resume_backbone_only", action="store_true",
+                   help="partial restore: merge shape-matching param leaves "
+                        "only (load_part_module, lib/utils/utlis.py:37-52)")
     p.add_argument("--debug", action="store_true",
                    help="5-step epochs (train.py:82-85 semantics)")
     p.add_argument("--synthetic", action="store_true",
@@ -73,9 +89,18 @@ def main(argv=None):
     if args.cls_type:
         cfg = cfg.replace(cls_type=args.cls_type)
 
-    from pose_estimation_tpu.train.trainer import Trainer
-    dataset = build_dataset(cfg, args)
-    trainer = Trainer(cfg, dataset, log_dir=args.log_dir)
+    mode = "eval" if args.eval_mode else "train"
+    dataset = build_dataset(cfg, args, mode=mode)
+    if cfg.pipeline == "transparent":
+        from pose_estimation_tpu.train.transparent_trainer import (
+            TransparentTrainer)
+        trainer = TransparentTrainer(cfg, dataset, log_dir=args.log_dir,
+                                     resume=args.resume)
+    else:
+        from pose_estimation_tpu.train.trainer import Trainer
+        trainer = Trainer(cfg, dataset, log_dir=args.log_dir,
+                          resume=args.resume,
+                          resume_backbone_only=args.resume_backbone_only)
     trainer.init_state()
 
     if args.eval_mode:

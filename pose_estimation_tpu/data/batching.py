@@ -28,13 +28,30 @@ def frame_to_sample(key, frame: dict, obj, crop_size: int, num_points: int):
         "region": jnp.asarray(frame["region"], jnp.int32),
         "k": jnp.asarray(frame["k"], jnp.float32),
     }
+    if "det_center" in frame:  # detection-bbox eval crops (lm_bop.py:170)
+        jframe["det_center"] = jnp.asarray(frame["det_center"], jnp.float32)
+        jframe["det_side"] = jnp.asarray(frame["det_side"], jnp.float32)
     s = prepare_sample(key, jframe, jnp.asarray(obj.lf_border),
                        jnp.asarray(obj.extent), crop_size=crop_size,
                        num_points=num_points)
+    if "t_noise" in frame:
+        # translation jitter on the cloud + gt translation together
+        # (DenseFusion-style noise_trans aug; geometry stays consistent,
+        # only the t-regression sees the shift)
+        tn = jnp.asarray(frame["t_noise"], jnp.float32)
+        s["cloud"] = s["cloud"] + tn
+        frame = dict(frame)
+        frame["t"] = np.asarray(frame["t"], np.float32) + np.asarray(
+            frame["t_noise"], np.float32)
     cls_id = int(frame["cls_id"])
     r = np.asarray(frame["r"], np.float32)
     t = np.asarray(frame["t"], np.float32)
     target = obj.model_points @ r.T + t
+    # region_point = origin + FPS centers, normalized like the xyz labels
+    # (batchdataset.py:723-728); row 0 pairs with region label 0 (bg).
+    region_points = np.concatenate(
+        [np.zeros((1, 3), np.float32), obj.fps_centers], axis=0)
+    region_points = (region_points - obj.lf_border) / obj.extent
     s.update({
         "cls": jnp.asarray(cls_id, jnp.int32),
         "multi_cls_mask": jnp.where(
@@ -46,6 +63,7 @@ def frame_to_sample(key, frame: dict, obj, crop_size: int, num_points: int):
         "sym_mask": jnp.asarray(float(obj.sym), jnp.float32),
         "lf_border": jnp.asarray(obj.lf_border),
         "extent": jnp.asarray(obj.extent),
+        "region_points": jnp.asarray(region_points, jnp.float32),
         "diameter": jnp.asarray(obj.diameter, jnp.float32),
         "k": jframe["k"],
     })
@@ -55,10 +73,14 @@ def frame_to_sample(key, frame: dict, obj, crop_size: int, num_points: int):
 def make_batch(dataset, indices, key, crop_size: int = 128,
                num_points: int = 1024):
     """Stack samples for `indices` into one batch dict of [B, ...] arrays."""
+    # cls_id is the 0-based class index in every frame dict; datasets whose
+    # `objects` container is keyed differently (LinemodBOPDataset keys by
+    # BOP object id 1..15) expose `objects_by_cls` with 0-based order.
+    by_cls = getattr(dataset, "objects_by_cls", None) or dataset.objects
     samples = []
     for j, i in enumerate(indices):
         frame = dataset[int(i)]
-        obj = dataset.objects[frame["cls_id"]]
+        obj = by_cls[frame["cls_id"]]
         samples.append(frame_to_sample(
             jax.random.fold_in(key, j), frame, obj, crop_size, num_points))
     return jax.tree.map(lambda *xs: jnp.stack(xs), *samples)

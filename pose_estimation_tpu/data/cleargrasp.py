@@ -37,6 +37,45 @@ CLEARGRASP_OBJECTS = {
 }
 
 
+def load_obj_mesh(path: str):
+    """Minimal wavefront .obj parse -> (verts [V,3], faces [F,3] int)."""
+    verts, faces = [], []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                verts.append([float(x) for x in line.split()[1:4]])
+            elif line.startswith("f "):
+                idx = [int(tok.split("/")[0]) - 1
+                       for tok in line.split()[1:]]
+                for j in range(1, len(idx) - 1):  # fan-triangulate
+                    faces.append([idx[0], idx[j], idx[j + 1]])
+    return (np.asarray(verts, np.float32),
+            np.asarray(faces, np.int64).reshape(-1, 3))
+
+
+def sample_points_from_mesh(path: str, n: int,
+                            seed: int = 0) -> np.ndarray:
+    """Area-weighted uniform surface sampling (the lib/utils.py:126-201
+    sampler the reference's get_model uses, cleargrasp/dataset.py:669-687)."""
+    verts, faces = load_obj_mesh(path)
+    if len(faces) == 0:
+        rng = np.random.RandomState(seed)
+        return verts[rng.choice(len(verts), n, replace=len(verts) < n)]
+    tri = verts[faces]                                    # [F,3,3]
+    cross = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    area = 0.5 * np.linalg.norm(cross, axis=-1)
+    rng = np.random.RandomState(seed)
+    fi = rng.choice(len(faces), n, p=area / area.sum())
+    u = rng.rand(n, 1)
+    v = rng.rand(n, 1)
+    flip = (u + v) > 1.0
+    u = np.where(flip, 1.0 - u, u)
+    v = np.where(flip, 1.0 - v, v)
+    t = tri[fi]
+    return (t[:, 0] + u * (t[:, 1] - t[:, 0])
+            + v * (t[:, 2] - t[:, 0])).astype(np.float32)
+
+
 def read_exr(path: str) -> np.ndarray:
     """EXR decode via OpenCV (cleargrasp/dataset.py:328-341)."""
     import cv2
@@ -109,6 +148,24 @@ class ClearGraspDataset:
 
     def axis(self, obj_id: int) -> np.ndarray:
         return CLEARGRASP_OBJECTS[self.names[obj_id]]
+
+    def model_points(self, obj_id: int,
+                     num_points: int = 10000) -> np.ndarray:
+        """Surface samples of the object's .obj mesh from <root>/models/
+        (get_model, cleargrasp/dataset.py:669-687). The square bottle's
+        mesh is stored at 1/10 scale — the reference multiplies its
+        rotation by 10 (dataset.py:489-490), which is equivalent to
+        scaling the model points; done here explicitly."""
+        if not hasattr(self, "_model_cache"):
+            self._model_cache = {}
+        if obj_id not in self._model_cache:
+            name = self.names[obj_id]
+            path = os.path.join(self.root, "models", f"{name}.obj")
+            pts = sample_points_from_mesh(path, num_points, seed=obj_id)
+            if name == "square-plastic-bottle":
+                pts = pts * 10.0
+            self._model_cache[obj_id] = pts
+        return self._model_cache[obj_id]
 
     def __getitem__(self, i):
         import cv2

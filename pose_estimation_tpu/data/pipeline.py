@@ -75,9 +75,16 @@ def prepare_sample(key: jax.Array, frame: dict, lf_border: jax.Array,
     """Single frame dict (full-res jnp arrays) -> model-input sample dict.
 
     frame keys: rgb [H,W,3], depth [H,W], mask [H,W], coordinate [H,W,3],
-    normal [H,W,3], region [H,W] int, k [3,3].
+    normal [H,W,3], region [H,W] int, k [3,3]; optional det_center [2] /
+    det_side (detection bbox override: eval crops from yolov3 boxes,
+    lm_bop.py:100-101,170, instead of the gt mask — gt-mask eval crops
+    silently inflate accuracy).
     """
-    center, side = square_bbox_from_mask(frame["mask"])
+    if "det_center" in frame:
+        center = frame["det_center"].astype(jnp.float32)
+        side = frame["det_side"].astype(jnp.float32)
+    else:
+        center, side = square_bbox_from_mask(frame["mask"])
     coords = crop_affine_coords(center, side, (crop_size, crop_size))
 
     rgb = bilinear_sample(frame["rgb"], coords)

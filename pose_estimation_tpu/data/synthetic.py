@@ -161,11 +161,17 @@ class SyntheticPoseDataset:
 
     def __init__(self, num_objects: int = 3, frames_per_object: int = 8,
                  seed: int = 0, im_h: int = 480, im_w: int = 640,
-                 num_regions: int = 16):
-        self.objects = [make_object(seed + i, num_regions=num_regions)
+                 num_regions: int = 16, pose_seed: int = 0,
+                 sym_objects: tuple = ()):
+        """`pose_seed` shifts the pose RNG only (same objects, disjoint
+        poses — the train/held-out split). `sym_objects`: class ids to mark
+        symmetric (eggbox/glue semantics for ADD-S coverage)."""
+        self.objects = [make_object(seed + i, num_regions=num_regions,
+                                    sym=i in sym_objects)
                         for i in range(num_objects)]
         self.frames_per_object = frames_per_object
         self.seed = seed
+        self.pose_seed = pose_seed
         self.im_h, self.im_w = im_h, im_w
         # DEFAULT_K is calibrated for 640x480; scale to the render size so
         # the principal point stays inside the image.
@@ -173,15 +179,43 @@ class SyntheticPoseDataset:
         self.k[0] *= im_w / 640.0
         self.k[1] *= im_h / 480.0
 
+    @property
+    def objects_by_cls(self):
+        return self.objects  # already a 0-based list
+
     def __len__(self):
         return len(self.objects) * self.frames_per_object
 
     def __getitem__(self, i):
         obj_id = i % len(self.objects)
         obj = self.objects[obj_id]
-        rng = np.random.RandomState(self.seed * 7919 + i)
+        rng = np.random.RandomState(self.seed * 7919
+                                    + self.pose_seed * 1000003 + i)
         r, t = random_pose(rng)
         frame = render_frame(obj, r, t, k=self.k, im_h=self.im_h,
                              im_w=self.im_w, rng=rng)
         frame["cls_id"] = obj_id
         return frame
+
+
+# Synthetic symmetry axes for the transparent fixture: alternate Z-axis
+# and XZ symmetric objects (cleargrasp dataconfig/config.yaml:18-23 shape).
+_SYN_AXES = [np.array([0.0, 0.0, 1.0], np.float32),
+             np.array([1.0, 0.0, 1.0], np.float32)]
+
+
+class SyntheticTransparentDataset(SyntheticPoseDataset):
+    """Transparent-pipeline fixture: same splat renders, but frames in the
+    BathPoseDataset schema (rgb/depth/normal/mask/r/t/k/cls_id/axis) with a
+    `model_points(cls_id)` accessor — the geometric-consistency stand-in
+    for ClearGraspDataset in tests (transparent analog of the KRRN e2e
+    fixture)."""
+
+    def __getitem__(self, i):
+        frame = super().__getitem__(i)
+        frame["axis"] = _SYN_AXES[frame["cls_id"] % len(_SYN_AXES)]
+        frame["sym"] = 0.0
+        return frame
+
+    def model_points(self, obj_id: int, num_points: int = 500):
+        return self.objects[obj_id].model_points[:num_points]

@@ -24,19 +24,31 @@ K_CMU = np.array([[1077.836, 0.0, 323.7872],
                   [0.0, 1078.189, 279.6921],
                   [0.0, 0.0, 1.0]], np.float32)
 
+# 21-object class list (version/transparent/datasets/ycb/dataset.py classes
+# file order; BOP obj ids are 1-based positions in this list).
+YCB_NAMES = [
+    "002_master_chef_can", "003_cracker_box", "004_sugar_box",
+    "005_tomato_soup_can", "006_mustard_bottle", "007_tuna_fish_can",
+    "008_pudding_box", "009_gelatin_box", "010_potted_meat_can",
+    "011_banana", "019_pitcher_base", "021_bleach_cleanser", "024_bowl",
+    "025_mug", "035_power_drill", "036_wood_block", "037_scissors",
+    "040_large_marker", "051_large_clamp", "052_extra_large_clamp",
+    "061_foam_brick"]
+
 
 class YCBVideoDataset(LinemodBOPDataset):
     """BOP-layout YCB-V; per-scene intrinsics come from scene_camera.json
-    so the CMU/UW split (dataset.py:79-87) is handled transparently."""
+    so the CMU/UW split (dataset.py:79-87) is handled transparently, and
+    the per-image BOP depth_scale (0.1 for YCB-V: png units are 0.1 mm)
+    comes from the same file — the divisor here only converts mm -> m."""
 
     def __init__(self, root: str, split: str = "test",
                  cls_type: str = "all", num_regions: int = 64,
-                 depth_scale: float = 10000.0):
-        # YCB-V BOP depth is in 0.1 mm units
-        super().__init__(root, split=split, cls_type="all",
+                 depth_scale: float = 1000.0):
+        super().__init__(root, split=split, cls_type=cls_type,
                          num_regions=num_regions, depth_scale=depth_scale,
                          object_ids=list(range(1, YCB_NUM_OBJECTS + 1)),
-                         sym_ids=YCB_SYM_IDS)
+                         sym_ids=YCB_SYM_IDS, object_names=YCB_NAMES)
 
     def is_symmetric(self, obj_id: int) -> bool:
         return obj_id in YCB_SYM_IDS

@@ -151,7 +151,8 @@ class KRRN(nn.Module):
             feat = jnp.concatenate([feat, onehot], axis=-1)
 
             green, red, t_res = PoseNet(
-                enable_rot=self.enable_rot, norm=m.norm,
+                enable_rot=self.enable_rot, rot_dim=m.posenet.outc_r,
+                t_dim=m.posenet.out_t, norm=m.norm,
                 dtype=self.dtype)(feat, train)
             pred_t = jnp.mean(p_emb + t_res, axis=1)  # krrn.py:153
             if self.enable_rot:

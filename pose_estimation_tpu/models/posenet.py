@@ -22,10 +22,12 @@ from pose_estimation_tpu.models.layers import MLP1d, Norm
 
 
 class TBase(nn.Module):
-    """Per-point translation offsets [B, N, 3] (posenet.py:51-81)."""
+    """Per-point translation offsets [B, N, out_dim] (posenet.py:51-81);
+    out_dim = cfg.Module.POSENet.OUT_T."""
 
     norm: str = "gn"
     dropout: float = 0.2
+    out_dim: int = 3
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -33,7 +35,7 @@ class TBase(nn.Module):
         x = MLP1d((1024, 256, 256), self.norm, final_act=True,
                   dtype=self.dtype)(feat, train)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        return nn.Dense(3, dtype=self.dtype)(x)
+        return nn.Dense(self.out_dim, dtype=self.dtype)(x)
 
 
 class RotBase(nn.Module):
@@ -60,13 +62,15 @@ class PoseNet(nn.Module):
     (posenet.py:84-96 returns (None, None, t))."""
 
     enable_rot: bool = False
-    rot_dim: int = 4
+    rot_dim: int = 4                 # cfg.Module.POSENet.OUTC_R
+    t_dim: int = 3                   # cfg.Module.POSENet.OUT_T
     norm: str = "gn"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feat, train: bool = False):
-        t = TBase(self.norm, dtype=self.dtype)(feat, train)
+        t = TBase(self.norm, out_dim=self.t_dim, dtype=self.dtype)(
+            feat, train)
         if self.enable_rot:
             green = RotBase(self.rot_dim, self.norm, dtype=self.dtype)(
                 feat, train)

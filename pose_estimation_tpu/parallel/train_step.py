@@ -42,6 +42,7 @@ def build_train_step(model, tx, cfg: Config) -> Callable:
     """
     weights = loss_weights_dict(cfg)
     use_bn = cfg.module.norm == "bn"
+    offset_decode = cfg.module.xyz_offset_decode
 
     @functools.partial(jax.jit, static_argnames=("opt_pose",),
                        donate_argnums=(0,))
@@ -49,6 +50,19 @@ def build_train_step(model, tx, cfg: Config) -> Callable:
         rng, new_rng = jax.random.split(state.rng)
         step_rng = jax.random.fold_in(rng, state.step)
         rngs = {"pool": step_rng, "dropout": jax.random.fold_in(step_rng, 1)}
+
+        if offset_decode:
+            # Train the xyz head on offsets from the GT region center
+            # (the convention tools/script/eval.py:94-105 decodes); at eval
+            # the argmax-region center is added back (build_eval_step).
+            onehot = jax.nn.one_hot(batch["region"],
+                                    batch["region_points"].shape[1],
+                                    dtype=batch["xyz"].dtype)
+            base = jnp.einsum("bhwr,brc->bhwc", onehot,
+                              batch["region_points"])
+            batch = dict(batch)
+            batch["xyz"] = jnp.where(batch["valid"][..., None],
+                                     batch["xyz"] - base, 0.0)
 
         def loss_fn(params):
             variables = {"params": params}
@@ -97,6 +111,7 @@ def build_eval_step(model, cfg: Config, num_pnp_points: int = 256,
     recovered rotation with the regressed translation, score ADD(-S).
     """
     use_bn = cfg.module.norm == "bn"
+    offset_decode = cfg.module.xyz_offset_decode
 
     # Two compiled programs: fusing the conv model with the solver into one
     # XLA program degrades the v5e schedule ~10x (see bench.py note).
@@ -108,7 +123,19 @@ def build_eval_step(model, cfg: Config, num_pnp_points: int = 256,
         out = model.apply(variables, batch["img"], batch["cloud"],
                           batch["choose"], batch["cls"], train=False,
                           opt_pose=True)
-        return out["xyz_emb"], out["pred_t"]
+        xyz_emb = out["xyz_emb"]
+        if offset_decode:
+            # Region-decoded coordinates (tools/script/eval.py:94-105):
+            # absolute = offset + argmax-region center, at chosen pixels.
+            b, h, w, r1 = out["region"].shape
+            region_flat = out["region"].reshape(b, h * w, r1)
+            region_emb = jnp.take_along_axis(
+                region_flat, batch["choose"][..., None], axis=1)
+            idx = jnp.argmax(region_emb, axis=-1)            # [B, N]
+            base = jnp.take_along_axis(batch["region_points"],
+                                       idx[..., None], axis=1)
+            xyz_emb = xyz_emb + base
+        return xyz_emb, out["pred_t"]
 
     @jax.jit
     def _pose_recovery(xyz_emb, pred_t, batch, key):

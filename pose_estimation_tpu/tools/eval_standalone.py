@@ -27,12 +27,19 @@ def main(argv=None):
     p.add_argument("--dataset_root", default="data/linemod")
     p.add_argument("--max_batches", type=int, default=None)
     p.add_argument("--log_dir", default="runs/eval")
+    p.add_argument("--region_decode", action="store_true",
+                   help="region-decoded coordinates before PnP "
+                        "(tools/script/eval.py:94-105); requires a "
+                        "checkpoint trained with module.xyz_offset_decode")
     args = p.parse_args(argv)
 
     from pose_estimation_tpu.cli import build_dataset, load_config
+    from pose_estimation_tpu.configs import schema
     from pose_estimation_tpu.train.trainer import Trainer
 
     cfg = load_config(args.config)
+    if args.region_decode:
+        cfg = schema.override(cfg, **{"module.xyz_offset_decode": True})
     ds = build_dataset(cfg, argparse.Namespace(
         synthetic=args.synthetic, dataset_root=args.dataset_root,
         frames_per_object=16))

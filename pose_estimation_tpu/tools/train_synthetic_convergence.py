@@ -1,0 +1,115 @@
+"""Accuracy-evidence run: train KRRN on the synthetic fixture to
+convergence, evaluate the TRAINED checkpoint through the full PnP eval
+path on a HELD-OUT pose split, and write the per-object ADD(-S) table to
+RESULTS_synthetic.json — the rebuild's equivalent of the reference's
+committed eval log (version/transparent/eval_log.txt:534-539).
+
+Optionally trains a second model with module.xyz_offset_decode=True and
+reports the region-decoded eval numbers next to the raw-xyz path
+(tools/script/eval.py:94-105 comparison).
+
+Run on the real TPU: python -m pose_estimation_tpu.tools.train_synthetic_convergence
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import numpy as np
+
+
+def make_cfg(schema, region_decode: bool = False):
+    return schema.override(
+        schema.Config(),
+        **{"module.num_cls": 4, "data.num_regions": 16,
+           "data.num_points": 512, "data.input_size": 96,
+           "module.backbone_outc": 64, "module.stem_width": 32,
+           "module.hrnet_stages": ((1, 2, (32, 32)), (2, 2, (32, 32, 64)),
+                                   (1, 2, (32, 32, 64, 64))),
+           "module.xyznet": schema.HeadConfig(hidden=64),
+           "module.nmlnet": schema.HeadConfig(hidden=64),
+           "module.xyz_offset_decode": region_decode,
+           "train.batch_size": 16, "train.amp": True,
+           "train.start_pose_epoch": 0,
+           "train.ckpt_every": 0,
+           "train.lr.lr": 3e-4, "train.lr.warmup_iters": 100,
+           "train.lr.anneal_point": 0.6,
+           "module.gcn3d": schema.Gcn3dConfig(neighbor_num=8,
+                                              support_num=4)})
+
+
+def run_variant(name: str, region_decode: bool, epochs: int,
+                frames_per_object: int, log_root: str):
+    from pose_estimation_tpu.configs import schema
+    from pose_estimation_tpu.data.synthetic import SyntheticPoseDataset
+    from pose_estimation_tpu.train.trainer import Trainer
+
+    cfg = make_cfg(schema, region_decode)
+    # 4 objects, one symmetric (class 3) for ADD-S coverage
+    train_ds = SyntheticPoseDataset(
+        num_objects=4, frames_per_object=frames_per_object,
+        im_h=240, im_w=320, num_regions=16, pose_seed=0, sym_objects=(3,))
+    test_ds = SyntheticPoseDataset(
+        num_objects=4, frames_per_object=32,
+        im_h=240, im_w=320, num_regions=16, pose_seed=7, sym_objects=(3,))
+
+    tr = Trainer(cfg, train_ds, test_dataset=test_ds,
+                 log_dir=f"{log_root}/{name}")
+    tr.init_state()
+    t0 = time.time()
+    for epoch in range(epochs):
+        tr.train_epoch(epoch)
+        if (epoch + 1) % 4 == 0:
+            s = tr.test_epoch(epoch)
+            print(f"[{name}] epoch {epoch}: "
+                  f"{json.dumps(s['overall'])}", flush=True)
+    train_sec = time.time() - t0
+    summary = tr.test_epoch(999)
+    frames = int(tr.state.step) * cfg.train.batch_size
+    return {
+        "variant": name,
+        "region_decode": region_decode,
+        "epochs": epochs,
+        "steps": int(tr.state.step),
+        "train_seconds": round(train_sec, 1),
+        "train_fps": round(frames / max(train_sec, 1e-9), 1),
+        "per_object": summary["per_object"],
+        "overall": summary["overall"],
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=24)
+    p.add_argument("--frames_per_object", type=int, default=192)
+    p.add_argument("--out", default="RESULTS_synthetic.json")
+    p.add_argument("--log_root", default="/tmp/convergence")
+    p.add_argument("--skip_region_decode", action="store_true")
+    args = p.parse_args(argv)
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    results = {"fixture": "SyntheticPoseDataset(4 objects, 1 symmetric, "
+                          "held-out pose_seed=7 split)",
+               "protocol": "full PnP eval path (on-device EPnP-RANSAC "
+                           "rotation + regressed translation); thresholds "
+                           "ADD(-S) < {0.1, 0.05, 0.02} * diameter, "
+                           "5deg5cm; AUC over [0, 0.1m]",
+               "variants": []}
+    results["variants"].append(run_variant(
+        "raw_xyz", False, args.epochs, args.frames_per_object,
+        args.log_root))
+    if not args.skip_region_decode:
+        results["variants"].append(run_variant(
+            "region_decoded", True, args.epochs, args.frames_per_object,
+            args.log_root))
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps({v["variant"]: v["overall"]
+                      for v in results["variants"]}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

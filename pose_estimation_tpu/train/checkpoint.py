@@ -40,3 +40,35 @@ class CheckpointManager:
 
     def latest_step(self):
         return self.mgr.latest_step()
+
+    def merge_partial_params(self, params_template: Any,
+                             step: int | None = None):
+        """Partial / backbone-only restore — the load_part_module analog
+        (lib/utils/utlis.py:37-52). Restores the checkpoint UNTYPED (raw
+        pytree, no template needed, so the saved model may differ), then
+        merges every param leaf whose path exists in `params_template` with
+        a matching shape. Returns (merged_params, num_merged_leaves)."""
+        step = step if step is not None else self.mgr.latest_step()
+        if step is None:
+            return params_template, 0
+        raw = self.mgr.restore(step)  # raw nested-dict pytree
+        src = raw.get("params", raw) if isinstance(raw, dict) else raw
+
+        merged = 0
+
+        def merge(dst_tree, src_tree):
+            nonlocal merged
+            if isinstance(dst_tree, dict) and isinstance(src_tree, dict):
+                return {k: (merge(v, src_tree[k]) if k in src_tree else v)
+                        for k, v in dst_tree.items()}
+            if (hasattr(dst_tree, "shape") and hasattr(src_tree, "shape")
+                    and tuple(dst_tree.shape) == tuple(src_tree.shape)):
+                merged += 1
+                return jax.numpy.asarray(src_tree, dst_tree.dtype)
+            return dst_tree
+
+        import flax
+        plain = flax.core.unfreeze(params_template) if hasattr(
+            flax.core, "unfreeze") else params_template
+        out = merge(plain, src)
+        return out, merged

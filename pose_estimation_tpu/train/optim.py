@@ -82,6 +82,23 @@ def lookahead(sync_period: int = 6, alpha: float = 0.5
     return optax.GradientTransformation(init, update)
 
 
+def manual_lr_scale() -> optax.GradientTransformationExtraArgs:
+    """Multiplies updates by a runtime `lr_scale` extra-arg — the hook for
+    the trainer's margin-triggered manual decay (tools/trainer.py:365-368).
+    The scale lives in TrainState (checkpointed) and is threaded into
+    tx.update each step, so scheduler='manual' actually decays the LR."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None, *, lr_scale=1.0, **extra):
+        del params, extra
+        return jax.tree.map(lambda u: u * lr_scale, updates), state
+
+    return optax.GradientTransformationExtraArgs(init, update)
+
+
 def ranger(learning_rate, betas=(0.95, 0.999), eps=1e-5,
            weight_decay: float = 0.0, sync_period: int = 6,
            alpha: float = 0.5) -> optax.GradientTransformation:
@@ -95,7 +112,8 @@ def ranger(learning_rate, betas=(0.95, 0.999), eps=1e-5,
         chain.append(optax.add_decayed_weights(weight_decay))
     chain += [
         optax.scale_by_learning_rate(learning_rate),
-        lookahead(sync_period, alpha),
+        manual_lr_scale(),  # before lookahead: sync interpolation must see
+        lookahead(sync_period, alpha),  # the decayed fast-weight step
     ]
     return optax.chain(*chain)
 
@@ -112,9 +130,10 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
     if opt.type.lower() == "ranger":
         core = ranger(sched, weight_decay=opt.weight_decay)
     elif opt.weight_decay:
-        core = optax.adamw(sched, weight_decay=opt.weight_decay)
+        core = optax.chain(optax.adamw(sched, weight_decay=opt.weight_decay),
+                           manual_lr_scale())
     else:
-        core = optax.adam(sched)
+        core = optax.chain(optax.adam(sched), manual_lr_scale())
     clip = getattr(opt, "grad_clip", 0.0)
     if clip:
         return optax.chain(optax.clip_by_global_norm(clip), core)

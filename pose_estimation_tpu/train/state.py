@@ -42,7 +42,13 @@ class TrainState:
 
     def apply_gradients(self, tx: optax.GradientTransformation, grads,
                         new_batch_stats=None, **updates):
-        upd, new_opt = tx.update(grads, self.opt_state, self.params)
+        if isinstance(tx, optax.GradientTransformationExtraArgs):
+            # threads the manual-decay scale (optim.manual_lr_scale) so
+            # scheduler='manual' decays the effective LR, not just a field
+            upd, new_opt = tx.update(grads, self.opt_state, self.params,
+                                     lr_scale=self.lr_scale)
+        else:
+            upd, new_opt = tx.update(grads, self.opt_state, self.params)
         new_params = optax.apply_updates(self.params, upd)
         return self.replace(
             step=self.step + 1, params=new_params, opt_state=new_opt,

@@ -25,6 +25,7 @@ from pose_estimation_tpu.parallel.mesh import make_mesh, shard_batch
 from pose_estimation_tpu.parallel.train_step import (
     build_eval_step, build_train_step)
 from pose_estimation_tpu.train.checkpoint import CheckpointManager
+from pose_estimation_tpu.train.guards import TrainGuard
 from pose_estimation_tpu.train.optim import make_optimizer
 from pose_estimation_tpu.train.state import TrainState
 from pose_estimation_tpu.data.batching import epoch_indices, make_batch
@@ -51,7 +52,9 @@ class MetricsLogger:
 
 class Trainer:
     def __init__(self, cfg: Config, dataset, test_dataset=None,
-                 log_dir: str = "runs/default", model=None):
+                 log_dir: str = "runs/default", model=None,
+                 resume: str | None = None,
+                 resume_backbone_only: bool = False):
         self.cfg = cfg
         self.dataset = dataset
         self.test_dataset = test_dataset or dataset
@@ -64,6 +67,12 @@ class Trainer:
         self.log = MetricsLogger(log_dir, "train")
         self.eval_log = MetricsLogger(log_dir, "eval")
         self.ckpt = CheckpointManager(os.path.join(log_dir, "ckpt"))
+        self.resume = resume
+        self.resume_backbone_only = resume_backbone_only
+        # Escalation policy around the branch-free in-step NaN guard:
+        # emergency ckpt on first non-finite step, abort on sustained
+        # divergence (tools/trainer.py:100-107 promoted to a subsystem).
+        self.guard = TrainGuard(ckpt_manager=self.ckpt)
         self.state = None
 
     def init_state(self, key=None) -> TrainState:
@@ -79,8 +88,19 @@ class Trainer:
         self.state = TrainState.create(
             variables["params"], self.tx, k_state,
             batch_stats=variables.get("batch_stats"))
+        if self.resume and self.resume_backbone_only:
+            # load_part_module equivalent (lib/utils/utlis.py:37-52):
+            # merge shape-matching param leaves, fresh everything else
+            # (optimizer state, step, RNG stay new).
+            merged, n = CheckpointManager(self.resume).merge_partial_params(
+                self.state.params)
+            print(f"[trainer] partial restore: {n} matching param leaves "
+                  f"from {self.resume}")
+            self.state = self.state.replace(params=merged)
+            return self.state
+        source = CheckpointManager(self.resume) if self.resume else self.ckpt
         try:
-            restored = self.ckpt.restore(self.state)
+            restored = source.restore(self.state)
         except Exception as e:  # incompatible/stale checkpoint: fresh start
             print(f"[trainer] checkpoint restore failed ({type(e).__name__});"
                   " starting fresh")
@@ -101,15 +121,32 @@ class Trainer:
         from pose_estimation_tpu.data.prefetch import prefetched_epoch
         stream = prefetched_epoch(self.dataset, batches, key,
                                   cfg.data.input_size, cfg.data.num_points)
+        prev_metrics = None  # guard reads the PREVIOUS step's metrics so the
+        # device never idles waiting on the current step's scalar
         for bi, batch in enumerate(stream):
             batch = shard_batch(self.mesh, batch)
             self.state, metrics = self.train_step(self.state, batch,
                                                   opt_pose=opt_pose)
+            if prev_metrics is not None and self.guard.observe(
+                    int(self.state.step) - 1,
+                    {"skipped_nonfinite":
+                     float(prev_metrics["skipped_nonfinite"])},
+                    train_state=self.state):
+                self.log.log(int(self.state.step),
+                             {"epoch": epoch, "aborted_divergence": 1.0},
+                             echo=True)
+                break
+            prev_metrics = metrics
             if bi % 20 == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 m["epoch"] = epoch
                 m["sec_per_step"] = (time.time() - t0) / (bi + 1)
                 self.log.log(int(self.state.step), m)
+            if (cfg.train.ckpt_every
+                    and int(self.state.step) % cfg.train.ckpt_every == 0):
+                # periodic 'current' checkpoint (tools/trainer.py:137-138)
+                self.ckpt.save(int(self.state.step), self.state,
+                               metrics={"periodic": 1.0}, force=True)
         return self.state
 
     def test_epoch(self, epoch: int, max_batches: int | None = None):
@@ -120,10 +157,13 @@ class Trainer:
                                 cfg.train.batch_size)
         if max_batches is not None:
             batches = batches[:max_batches]
-        for bi, idx in enumerate(batches):
-            batch = make_batch(self.test_dataset, idx,
-                               jax.random.fold_in(key, bi + 1000),
-                               cfg.data.input_size, cfg.data.num_points)
+        # prefetched: host batch assembly (decode + splat label regen)
+        # overlaps device eval — real-data eval was host-bound otherwise
+        from pose_estimation_tpu.data.prefetch import prefetched_epoch
+        stream = prefetched_epoch(self.test_dataset, batches,
+                                  jax.random.fold_in(key, 1000),
+                                  cfg.data.input_size, cfg.data.num_points)
+        for bi, batch in enumerate(stream):
             batch = shard_batch(self.mesh, batch)
             out = self.eval_step(self.state, batch,
                                  jax.random.fold_in(key, bi))

@@ -67,6 +67,165 @@ def build_transparent_train_step(model, tx, weights=None) -> Callable:
     return train_step
 
 
+class TransparentTrainer:
+    """Epoch driver for the transparent pipeline — fit/test/ckpt/resume on
+    top of the compiled steps above; the analog of the reference's
+    train_single/train_batch/main_worker launchers
+    (version/transparent/train.py:1077-1315) collapsed onto one mesh."""
+
+    def __init__(self, cfg, dataset, test_dataset=None,
+                 log_dir: str = "runs/transparent", model=None,
+                 resume: str | None = None):
+        import jax.numpy as jnp
+        from pose_estimation_tpu.models.transparent import TRPESNet
+        from pose_estimation_tpu.train.optim import make_optimizer
+        from pose_estimation_tpu.train.trainer import MetricsLogger
+        from pose_estimation_tpu.train.guards import TrainGuard
+
+        self.cfg = cfg
+        self.dataset = dataset
+        self.test_dataset = test_dataset or dataset
+        self.mesh = make_mesh(cfg.mesh.data, cfg.mesh.model)
+        self.model = model or TRPESNet(
+            num_points=cfg.data.num_points, num_obj=cfg.module.num_cls,
+            dtype=jnp.bfloat16 if cfg.train.amp else jnp.float32)
+        self.tx = make_optimizer(cfg)
+        lw = cfg.train.loss
+        weights = {"distance": lw.weight_pose, "rotation": lw.weight_region,
+                   "normal": lw.weight_normal, "depth": lw.weight_xyz,
+                   "mask": lw.weight_mask, "boundary": lw.weight_mask}
+        self.train_step = build_transparent_train_step(
+            self.model, self.tx, weights)
+        self.eval_step = build_transparent_eval_step(self.model)
+        self.log = MetricsLogger(log_dir, "train")
+        self.eval_log = MetricsLogger(log_dir, "eval")
+        self.ckpt = CheckpointManager(os.path.join(log_dir, "ckpt"))
+        self.resume = resume
+        self.guard = TrainGuard(ckpt_manager=self.ckpt)
+        self.state = None
+        # per-object ADD thresholds: 0.1 * true max-pairwise diameter
+        self._diameters = np.zeros(cfg.module.num_cls, np.float32)
+        for c in range(cfg.module.num_cls):
+            mp = np.asarray(dataset.model_points(c))[:500]
+            d2 = ((mp[:, None] - mp[None]) ** 2).sum(-1)
+            self._diameters[c] = float(np.sqrt(d2.max()))
+
+    def _batch(self, indices, seed):
+        from pose_estimation_tpu.data.transparent_batching import (
+            make_transparent_batch)
+        return make_transparent_batch(
+            self.dataset, indices, seed=seed,
+            img_size=self.cfg.data.input_size,
+            num_model=min(500, self.cfg.data.num_points))
+
+    def init_state(self, key=None):
+        cfg = self.cfg
+        key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+        k_init, k_state = jax.random.split(key)
+        batch = self._batch([0], seed=0)
+        variables = self.model.init(
+            {"params": k_init, "choose": k_init, "dropout": k_init},
+            batch["img"], batch["intrinsic"], batch["xmap"], batch["ymap"],
+            batch["d_scale"], batch["obj"], train=False)
+        self.state = TrainState.create(variables["params"], self.tx, k_state)
+        source = (CheckpointManager(self.resume) if self.resume
+                  else self.ckpt)
+        try:
+            restored = source.restore(self.state)
+        except Exception as e:
+            print(f"[transparent] restore failed ({type(e).__name__}); "
+                  "starting fresh")
+            restored = None
+        if restored is not None:
+            self.state = restored
+        return self.state
+
+    def train_epoch(self, epoch: int, steps: int | None = None):
+        from pose_estimation_tpu.data.batching import epoch_indices
+        from pose_estimation_tpu.data.prefetch import Prefetcher
+        cfg = self.cfg
+        key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), epoch)
+        batches = epoch_indices(key, len(self.dataset), cfg.train.batch_size)
+        if steps is not None:
+            batches = batches[:steps]
+
+        def gen():
+            for bi, idx in enumerate(batches):
+                yield self._batch(idx, seed=epoch * 131 + bi)
+
+        t0 = time.time()
+        for bi, batch in enumerate(Prefetcher(gen())):
+            batch = shard_batch(self.mesh, batch)
+            self.state, metrics = self.train_step(self.state, batch)
+            if self.guard.observe(int(self.state.step),
+                                  {"skipped_nonfinite":
+                                   float(metrics["skipped_nonfinite"])},
+                                  train_state=self.state):
+                self.log.log(int(self.state.step),
+                             {"epoch": epoch, "aborted_divergence": 1.0},
+                             echo=True)
+                break
+            if bi % 20 == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["epoch"] = epoch
+                m["sec_per_step"] = (time.time() - t0) / (bi + 1)
+                self.log.log(int(self.state.step), m)
+            if (cfg.train.ckpt_every
+                    and int(self.state.step) % cfg.train.ckpt_every == 0):
+                self.ckpt.save(int(self.state.step), self.state,
+                               metrics={"periodic": 1.0}, force=True)
+        return self.state
+
+    def test_epoch(self, epoch: int, max_batches: int | None = None):
+        from pose_estimation_tpu.data.batching import epoch_indices
+        from pose_estimation_tpu.data.prefetch import Prefetcher
+        from pose_estimation_tpu.metrics.metric import PerObjectAccumulator
+        cfg = self.cfg
+        acc = PerObjectAccumulator(cfg.module.num_cls)
+        key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 2), epoch)
+        batches = epoch_indices(key, len(self.test_dataset),
+                                cfg.train.batch_size)
+        if max_batches is not None:
+            batches = batches[:max_batches]
+
+        def gen():
+            for bi, idx in enumerate(batches):
+                yield self._batch(idx, seed=epoch * 131 + bi + 7777)
+
+        for batch in Prefetcher(gen()):
+            sbatch = shard_batch(self.mesh, batch)
+            out = self.eval_step(self.state, sbatch)
+            cls = np.asarray(batch["obj"]).reshape(-1)
+            dis = np.asarray(out["add_dis"]).reshape(-1)
+            ok = (dis < 0.1 * self._diameters[cls]).astype(np.float32)
+            acc.update(cls, {"add_dis": dis, "add_ok": ok})
+        summary = acc.summary()
+        mean_dis = summary["overall"].get("add_dis", float("inf"))
+        self.eval_log.log(int(self.state.step),
+                          {"epoch": epoch, **summary["overall"]}, echo=True)
+        if mean_dis < float(self.state.best_dis):
+            self.state = self.state.replace(
+                best_dis=jnp.asarray(mean_dis, jnp.float32))
+            self.ckpt.save(int(self.state.step), self.state,
+                           metrics={"add_dis": mean_dis})
+        if (cfg.train.lr.scheduler == "manual"
+                and mean_dis < cfg.train.lr.decay_margin):
+            self.state = self.state.replace(
+                lr_scale=self.state.lr_scale * cfg.train.lr.decay_rate)
+        return summary
+
+    def fit(self, num_epochs: int | None = None,
+            steps_per_epoch: int | None = None, eval_every: int = 1):
+        if self.state is None:
+            self.init_state()
+        num_epochs = num_epochs or self.cfg.train.num_epoch
+        for epoch in range(num_epochs):
+            self.train_epoch(epoch, steps_per_epoch)
+            if (epoch + 1) % eval_every == 0:
+                self.test_epoch(epoch)
+        return self.state
+
+
 def build_transparent_eval_step(model) -> Callable:
     """Best-confidence pose extraction + ADD(-S) — the transparent test
     loop (train.py:305-426) as one compiled program."""

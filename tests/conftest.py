@@ -9,10 +9,12 @@ Must set flags before jax initializes its backends.
 import os
 
 # The image's sitecustomize registers the axon TPU backend whenever
-# PALLAS_AXON_POOL_IPS is set and prepends it to jax_platforms — clearing
-# the var is the only way to get a true CPU run (JAX_PLATFORMS=cpu alone is
-# overridden by the plugin registration).
-os.environ["PALLAS_AXON_POOL_IPS"] = ""
+# PALLAS_AXON_POOL_IPS is set, and it imports jax at interpreter startup —
+# so by the time conftest runs, jax may already be loaded with
+# jax_platforms='axon' baked in from the env. Mutating os.environ here is
+# then too late; the reliable override is jax.config.update *before any
+# backend initializes* (safe: backends init lazily on first use).
+os.environ["PALLAS_AXON_POOL_IPS"] = ""  # for spawned subprocesses
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -21,6 +23,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 import numpy as np  # noqa: E402

@@ -107,6 +107,52 @@ class TestTrainState:
         assert int(restored.step) == 0
 
 
+class TestManualLrScale:
+    def test_scale_shrinks_update(self):
+        """scheduler='manual': the TrainState.lr_scale must actually scale
+        the applied update (round-1 advisor finding: it was a dead field)."""
+        cfg = schema.override(schema.Config(),
+                              **{"train.lr.scheduler": "manual"})
+        tx = make_optimizer(cfg)
+        params = {"w": jnp.ones(4)}
+        g = {"w": jnp.ones(4)}
+
+        st_full = TrainState.create(params, tx, jax.random.PRNGKey(0))
+        st_decayed = TrainState.create(params, tx, jax.random.PRNGKey(0))
+        st_decayed = st_decayed.replace(lr_scale=jnp.asarray(0.5))
+
+        p1 = st_full.apply_gradients(tx, g).params["w"]
+        p2 = st_decayed.apply_gradients(tx, g).params["w"]
+        d1 = float(jnp.abs(1.0 - p1).max())
+        d2 = float(jnp.abs(1.0 - p2).max())
+        assert d2 < d1 * 0.75, (d1, d2)
+        np.testing.assert_allclose(d2, d1 * 0.5, rtol=1e-4)
+
+
+class TestPartialRestore:
+    def test_merges_matching_leaves_only(self, tmp_path):
+        """load_part_module analog (lib/utils/utlis.py:37-52): leaves with
+        matching path+shape restore; the rest keep fresh values."""
+        from pose_estimation_tpu.train.checkpoint import CheckpointManager
+        tx = optax.adam(1e-3)
+        saved_params = {"backbone": {"w": jnp.full((4, 4), 7.0)},
+                        "head": {"w": jnp.full(3, 9.0)}}
+        st = TrainState.create(saved_params, tx, jax.random.PRNGKey(0))
+        mgr = CheckpointManager(str(tmp_path / "ck"))
+        mgr.save(0, st)
+
+        # new model: same backbone, different head shape, extra module
+        fresh = {"backbone": {"w": jnp.zeros((4, 4))},
+                 "head": {"w": jnp.zeros(5)},
+                 "new_head": {"w": jnp.zeros(2)}}
+        merged, n = CheckpointManager(
+            str(tmp_path / "ck")).merge_partial_params(fresh)
+        assert n == 1
+        np.testing.assert_allclose(np.asarray(merged["backbone"]["w"]), 7.0)
+        np.testing.assert_allclose(np.asarray(merged["head"]["w"]), 0.0)
+        np.testing.assert_allclose(np.asarray(merged["new_head"]["w"]), 0.0)
+
+
 class TestGuards:
     def test_escalates_after_consecutive_failures(self):
         g = TrainGuard(max_consecutive=3)
