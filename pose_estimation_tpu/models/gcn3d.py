@@ -100,21 +100,27 @@ class PoolLayer(nn.Module):
 
     pooling_rate: int = 4
     neighbor_num: int = 4
+    return_sample: bool = False   # also return the subsample indices
 
     @nn.compact
     def __call__(self, vertices, feature_map):
         n = vertices.shape[-2]
         pool_num = n // self.pooling_rate
-        idx = po.knn_indices(vertices[..., :3], self.neighbor_num,
-                             exclude_self=True)
-        pooled = jnp.max(po.gather_neighbors(feature_map, idx), axis=-2)
+        # Subsample FIRST, then neighbor-max only at the sampled rows —
+        # identical output to pool-then-subsample at 1/pooling_rate the
+        # KNN + gather cost (the 5 pools were ~25% of FusionNetLite time).
         if self.has_rng("pool"):
             sample = jax.random.permutation(
                 self.make_rng("pool"), n)[:pool_num]
         else:
             sample = jnp.arange(pool_num) * self.pooling_rate
-        return (jnp.take(vertices, sample, axis=-2),
-                jnp.take(pooled, sample, axis=-2))
+        v_s = jnp.take(vertices, sample, axis=-2)
+        idx = po.knn_indices_cross(v_s[..., :3], vertices[..., :3],
+                                   self.neighbor_num, exclude_self=True)
+        pooled = jnp.max(po.gather_neighbors(feature_map, idx), axis=-2)
+        if self.return_sample:
+            return v_s, pooled, sample
+        return v_s, pooled
 
 
 class MultiConvLayer(nn.Module):

@@ -1,0 +1,158 @@
+"""Per-component device-loop timing of the eval path on the real chip.
+
+Host timing loops lie through the axon relay (identical dispatches are
+deduped), so each component is timed as ONE jit program that runs the
+component `reps` times inside lax.fori_loop with an input perturbation and
+a scalar carry dependency — the device cannot skip or overlap iterations.
+
+Usage (real TPU): python -m pose_estimation_tpu.tools.profile_eval
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
+
+def device_time(fn, args, reps: int = 10, name: str = "") -> float:
+    """Milliseconds per call of fn(*args), measured by an on-device loop."""
+
+    @jax.jit
+    def looped(args):
+        def body(i, carry):
+            eps, a = carry
+            pert = jax.tree.map(
+                lambda x: (x + eps.astype(x.dtype)
+                           if jnp.issubdtype(x.dtype, jnp.floating) else x),
+                a)
+            out = fn(*pert)
+            leaves = [l for l in jax.tree.leaves(out)
+                      if jnp.issubdtype(l.dtype, jnp.floating)]
+            dep = sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
+            return (eps * 0.5 + dep * 1e-30, a)
+
+        return jax.lax.fori_loop(0, reps, body,
+                                 (jnp.float32(1e-6), args))[0]
+
+    out = looped(args)              # compile
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = looped(args)
+    jax.block_until_ready(out)
+    ms = (time.perf_counter() - t0) * 1000.0 / reps
+    print(f"{name:42s} {ms:8.2f} ms")
+    return ms
+
+
+def main(only: str = ""):
+    import os
+    only = only or os.environ.get("PROFILE_ONLY", "")
+
+    def want(tag):
+        return not only or tag in only.split(",")
+
+    from pose_estimation_tpu.configs import schema
+    from pose_estimation_tpu.core import pointops as po
+    from pose_estimation_tpu.core.solvers.pnp import pnp_ransac
+    from pose_estimation_tpu.data.batching import make_batch
+    from pose_estimation_tpu.data.synthetic import SyntheticPoseDataset
+    from pose_estimation_tpu.models.fusion import FusionNetLite
+    from pose_estimation_tpu.models.hrnet import DEFAULT_STAGES, HRNet
+    from pose_estimation_tpu.models.krrn import KRRN
+    from pose_estimation_tpu.ops.pallas_gcn import gcn_aggregate
+
+    cfg = schema.Config()
+    bs = 32
+    n = cfg.data.num_points
+    dtype = jnp.bfloat16
+    key = jax.random.PRNGKey(0)
+    print(f"backend={jax.default_backend()} bs={bs} n={n}")
+
+    ds = SyntheticPoseDataset(num_objects=4, frames_per_object=8,
+                              num_regions=cfg.data.num_regions)
+    batch = make_batch(ds, [i % len(ds) for i in range(bs)], key,
+                       cfg.data.input_size, cfg.data.num_points)
+
+    # --- full model ---
+    model = KRRN(cfg=cfg, dtype=dtype)
+    variables = model.init({"params": key}, batch["img"], batch["cloud"],
+                           batch["choose"], batch["cls"], train=False)
+    params = variables["params"]
+    if want("model"): device_time(
+        lambda img: model.apply({"params": params}, img, batch["cloud"],
+                                batch["choose"], batch["cls"], train=False,
+                                opt_pose=True)["pred_t"],
+        (batch["img"],), name="KRRN full forward (opt_pose)")
+    if want("model"): device_time(
+        lambda img: model.apply({"params": params}, img, batch["cloud"],
+                                batch["choose"], batch["cls"], train=False,
+                                opt_pose=False)["xyz_emb"],
+        (batch["img"],), name="KRRN forward no-fusion (opt_pose=False)")
+
+    # --- HRNet alone ---
+    hr = HRNet(backbone_outc=cfg.module.backbone_outc, stages=DEFAULT_STAGES,
+               stem_width=cfg.module.stem_width, norm=cfg.module.norm,
+               dtype=dtype)
+    hv = hr.init({"params": key}, batch["img"].astype(dtype), False)
+    if want("hrnet"): device_time(
+        lambda img: hr.apply(hv, img.astype(dtype), False)[0],
+        (batch["img"],), name="HRNet backbone")
+
+    # --- fusion alone ---
+    fus = FusionNetLite(neighbor_num=cfg.module.gcn3d.neighbor_num,
+                        support_num=cfg.module.gcn3d.support_num,
+                        norm=cfg.module.norm, dtype=dtype)
+    verts = batch["cloud"].astype(jnp.float32)
+    xyz_emb = jax.random.normal(key, (bs, n, 3))
+    nml_emb = jax.random.normal(jax.random.fold_in(key, 1), (bs, n, 3))
+    fv = fus.init({"params": key}, verts, xyz_emb, nml_emb, False)
+    if want("fusion"): device_time(lambda v, x, m: fus.apply(fv, v, x, m, False),
+                (verts, xyz_emb, nml_emb), name="FusionNetLite")
+
+    # --- fusion internals ---
+    if want("ops"): device_time(lambda v: po.knn_indices(v, 10), (verts,),
+                name="knn_indices N=1024 k=10")
+    idx = po.knn_indices(verts, 10)
+    so = 128 * 7
+    feats = jax.random.normal(key, (bs, n, so), dtype)
+    dirs = jax.random.normal(key, (3, so), jnp.float32)
+    nd = po.neighbor_directions(verts, idx)
+    if want("ops"): device_time(lambda f: gcn_aggregate(nd, dirs, f, idx, 7), (feats,),
+                name="gcn_aggregate N=1024 C=896 (onehot)")
+    if want("ops"): device_time(lambda v: po.nearest_index(v, v[:, :256]), (verts,),
+                name="nearest_index 1024<-256")
+    if want("ops"):
+        device_time(lambda n_: gcn_aggregate(n_, dirs, None, idx, 7),
+                    (nd,), name="gcn_aggregate theta-only (ConvSurface)")
+        from pose_estimation_tpu.models.gcn3d import PoolLayer
+        pool = PoolLayer(4, 4)
+        f128 = jax.random.normal(key, (bs, n, 128), dtype)
+        pv = pool.init({"params": key}, verts, f128)
+        device_time(lambda v, f: pool.apply(pv, v, f), (verts, f128),
+                    name="PoolLayer N=1024 rate=4")
+        verts1 = verts[:, :256]
+        idx1 = po.knn_indices(verts1, 10)
+        nd1 = po.neighbor_directions(verts1, idx1)
+        feats1 = jax.random.normal(key, (bs, 256, so), dtype)
+        device_time(lambda f: gcn_aggregate(nd1, dirs, f, idx1, 7),
+                    (feats1,), name="gcn_aggregate N=256 (level1)")
+
+    # --- PnP ---
+    pw = jax.random.normal(key, (bs, 256, 3)) * 0.05
+    uv = jax.random.uniform(key, (bs, 256, 2)) * 100
+    kmat = jnp.broadcast_to(batch["k"][0], (bs, 3, 3))
+    keys = jax.random.split(key, bs)
+    solve = jax.vmap(lambda kk, p, u, km: pnp_ransac(
+        kk, p, u, km, num_hypotheses=32, inlier_px=2.0))
+    if want("pnp"): device_time(lambda p, u: solve(keys, p, u, kmat)["t"], (pw, uv),
+                name="pnp_ransac vmap b=32 h=32")
+
+
+if __name__ == "__main__":
+    main()

@@ -72,6 +72,44 @@ class TestBOPReader:
         assert batch["cloud"].shape == (2, 64, 3)
         assert set(np.asarray(batch["cls"]).tolist()) == {0, 1}
 
+    def test_eval_detection_bboxes(self, bop_tree, key):
+        """yolov3 eval bboxes (lm_bop.py:100-101,170): when
+        test_bboxes/bbox_yolov3_all.json exists, eval frames carry the
+        detection crop and the batch pipeline crops from it."""
+        from pose_estimation_tpu.data.batching import make_batch
+        from pose_estimation_tpu.data.linemod import LinemodBOPDataset
+        root, objs = bop_tree
+        bb_dir = os.path.join(root, "test", "test_bboxes")
+        os.makedirs(bb_dir, exist_ok=True)
+        # fabricate detections near the gt (oid/im_id keys)
+        ds0 = LinemodBOPDataset(root, split="test", cls_type="all",
+                                num_regions=16, object_ids=[1, 2],
+                                sym_ids=set())
+        dets = {}
+        for i in range(len(ds0)):
+            sdir, im_id, oid, r, t, k, dsc = ds0.index[i]
+            f = ds0[i]
+            rows = np.any(f["mask"], 1)
+            cols = np.any(f["mask"], 0)
+            rmin, rmax = np.where(rows)[0][[0, -1]]
+            cmin, cmax = np.where(cols)[0][[0, -1]]
+            dets[f"{oid}/{im_id}"] = [{"bbox_est": [
+                int(cmin) - 2, int(rmin) - 2,
+                int(cmax - cmin) + 4, int(rmax - rmin) + 4]}]
+        with open(os.path.join(bb_dir, "bbox_yolov3_all.json"), "w") as f:
+            json.dump(dets, f)
+
+        ds = LinemodBOPDataset(root, split="test", cls_type="all",
+                               num_regions=16, object_ids=[1, 2],
+                               sym_ids=set(), eval_bboxes=True)
+        frame = ds[0]
+        assert "det_center" in frame and "det_side" in frame
+        batch = make_batch(ds, [0, 1], key, crop_size=32, num_points=64)
+        assert batch["img"].shape == (2, 32, 32, 3)
+        # crop center must track the detection, not stray defaults
+        np.testing.assert_allclose(np.asarray(batch["bbox_center"][0]),
+                                   frame["det_center"], atol=1e-4)
+
     def test_single_class_selection(self, bop_tree):
         from pose_estimation_tpu.data.linemod import LinemodBOPDataset
         root, objs = bop_tree
