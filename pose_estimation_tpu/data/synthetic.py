@@ -162,10 +162,14 @@ class SyntheticPoseDataset:
     def __init__(self, num_objects: int = 3, frames_per_object: int = 8,
                  seed: int = 0, im_h: int = 480, im_w: int = 640,
                  num_regions: int = 16, pose_seed: int = 0,
-                 sym_objects: tuple = ()):
+                 sym_objects: tuple = (), cache_frames: bool = False):
         """`pose_seed` shifts the pose RNG only (same objects, disjoint
         poses — the train/held-out split). `sym_objects`: class ids to mark
-        symmetric (eggbox/glue semantics for ADD-S coverage)."""
+        symmetric (eggbox/glue semantics for ADD-S coverage).
+        `cache_frames` memoizes rendered frames by index (poses are
+        deterministic per index, so this is lossless): the splat render is
+        ~150 ms/frame on the single host CPU, which makes multi-epoch
+        training host-bound without it (~3.4 MB per 240x320 frame)."""
         self.objects = [make_object(seed + i, num_regions=num_regions,
                                     sym=i in sym_objects)
                         for i in range(num_objects)]
@@ -178,6 +182,7 @@ class SyntheticPoseDataset:
         self.k = DEFAULT_K.copy()
         self.k[0] *= im_w / 640.0
         self.k[1] *= im_h / 480.0
+        self._frame_cache: dict | None = {} if cache_frames else None
 
     @property
     def objects_by_cls(self):
@@ -187,6 +192,8 @@ class SyntheticPoseDataset:
         return len(self.objects) * self.frames_per_object
 
     def __getitem__(self, i):
+        if self._frame_cache is not None and i in self._frame_cache:
+            return self._frame_cache[i]
         obj_id = i % len(self.objects)
         obj = self.objects[obj_id]
         rng = np.random.RandomState(self.seed * 7919
@@ -195,6 +202,8 @@ class SyntheticPoseDataset:
         frame = render_frame(obj, r, t, k=self.k, im_h=self.im_h,
                              im_w=self.im_w, rng=rng)
         frame["cls_id"] = obj_id
+        if self._frame_cache is not None:
+            self._frame_cache[i] = frame
         return frame
 
 

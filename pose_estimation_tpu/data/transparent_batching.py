@@ -133,7 +133,7 @@ def make_transparent_batch(dataset, indices, seed: int = 0,
     for j, i in enumerate(indices):
         frame = dataset[int(i)]
         mp = dataset.model_points(frame["cls_id"])
-        rng = np.random.RandomState(seed * 100003 + int(i))
+        rng = np.random.RandomState((seed * 100003 + int(i)) % (2 ** 31))
         samples.append(frame_to_transparent_sample(
             frame, mp, rng, img_size=img_size, num_model=num_model))
     out = {}

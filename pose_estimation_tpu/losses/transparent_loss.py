@@ -55,6 +55,14 @@ def confidence_pose_loss(pred_quat, pred_t, pred_c, target, model_points,
     Returns (loss_add, best_distance [B], loss_rot).
     """
     b, n, _ = pred_quat.shape
+    # Pose geometry (quat normalize, arccos ray angle, chamfer) is
+    # ill-conditioned in bf16 — under AMP the model emits bf16 heads and
+    # the arccos in allo_to_ego saturated, producing inf gradients under a
+    # finite loss. The tensors here are tiny ([B,N,4]); run the whole
+    # term in f32.
+    pred_quat = pred_quat.astype(jnp.float32)
+    pred_t = pred_t.astype(jnp.float32)
+    pred_c = pred_c.astype(jnp.float32)
     base = quat_to_matrix(pred_quat)                    # [B,N,3,3]
     if allocentric:
         base = allo_to_ego_matrix(pred_t, base)

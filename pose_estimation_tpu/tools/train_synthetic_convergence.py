@@ -48,13 +48,18 @@ def run_variant(name: str, region_decode: bool, epochs: int,
     from pose_estimation_tpu.train.trainer import Trainer
 
     cfg = make_cfg(schema, region_decode)
-    # 4 objects, one symmetric (class 3) for ADD-S coverage
+    # 4 objects, one symmetric (class 3) for ADD-S coverage. Frames are
+    # cached after the first epoch (deterministic poses): the splat render
+    # is ~150 ms/frame on the single host CPU and would otherwise bound
+    # every epoch at ~3 s/step vs ~20 ms of device time.
     train_ds = SyntheticPoseDataset(
         num_objects=4, frames_per_object=frames_per_object,
-        im_h=240, im_w=320, num_regions=16, pose_seed=0, sym_objects=(3,))
+        im_h=240, im_w=320, num_regions=16, pose_seed=0, sym_objects=(3,),
+        cache_frames=True)
     test_ds = SyntheticPoseDataset(
         num_objects=4, frames_per_object=32,
-        im_h=240, im_w=320, num_regions=16, pose_seed=7, sym_objects=(3,))
+        im_h=240, im_w=320, num_regions=16, pose_seed=7, sym_objects=(3,),
+        cache_frames=True)
 
     tr = Trainer(cfg, train_ds, test_dataset=test_ds,
                  log_dir=f"{log_root}/{name}")
@@ -62,7 +67,7 @@ def run_variant(name: str, region_decode: bool, epochs: int,
     t0 = time.time()
     for epoch in range(epochs):
         tr.train_epoch(epoch)
-        if (epoch + 1) % 4 == 0:
+        if (epoch + 1) % 8 == 0:
             s = tr.test_epoch(epoch)
             print(f"[{name}] epoch {epoch}: "
                   f"{json.dumps(s['overall'])}", flush=True)
@@ -83,8 +88,8 @@ def run_variant(name: str, region_decode: bool, epochs: int,
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--epochs", type=int, default=24)
-    p.add_argument("--frames_per_object", type=int, default=192)
+    p.add_argument("--epochs", type=int, default=96)
+    p.add_argument("--frames_per_object", type=int, default=256)
     p.add_argument("--out", default="RESULTS_synthetic.json")
     p.add_argument("--log_root", default="/tmp/convergence")
     p.add_argument("--skip_region_decode", action="store_true")

@@ -1,0 +1,95 @@
+"""Transparent-pipeline accuracy evidence: train TRPESNet on the synthetic
+transparent fixture to convergence, evaluate the TRAINED checkpoint through
+the batched confidence-argmax eval path on a HELD-OUT pose split, and write
+the per-object ADD(-S) table to RESULTS_transparent.json — the rebuild's
+analog of the reference's committed transparent eval log
+(version/transparent/eval_log.txt:534-539, overall 0.9173 @ 0.1d).
+
+Run on the real TPU:
+  python -m pose_estimation_tpu.tools.train_transparent_convergence
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+
+
+def make_cfg(schema):
+    # fixture-sized TRPESNet: the full 256-crop/1000-point cleargrasp
+    # config is unnecessary for 2-object splat renders; geometry and loss
+    # paths are identical.
+    return schema.override(
+        schema.transparent_cleargrasp(),
+        **{"module.num_cls": 4, "data.num_points": 256,
+           "data.input_size": 96, "train.batch_size": 16,
+           "train.amp": True, "train.ckpt_every": 0,
+           "train.lr.lr": 2e-4, "train.lr.warmup_iters": 100,
+           "train.lr.anneal_point": 0.6,
+           "train.optimizer": schema.OptimizerConfig(type="Adam")})
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--frames_per_object", type=int, default=160)
+    p.add_argument("--out", default="RESULTS_transparent.json")
+    p.add_argument("--log_root", default="/tmp/convergence_transparent")
+    args = p.parse_args(argv)
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
+    from pose_estimation_tpu.configs import schema
+    from pose_estimation_tpu.data.synthetic import SyntheticTransparentDataset
+    from pose_estimation_tpu.metrics.metric import PerObjectAccumulator
+    from pose_estimation_tpu.train.transparent_trainer import (
+        TransparentTrainer)
+    import numpy as np
+
+    cfg = make_cfg(schema)
+    train_ds = SyntheticTransparentDataset(
+        num_objects=4, frames_per_object=args.frames_per_object,
+        im_h=240, im_w=320, num_regions=16, pose_seed=0, sym_objects=(3,),
+        cache_frames=True)
+    test_ds = SyntheticTransparentDataset(
+        num_objects=4, frames_per_object=32,
+        im_h=240, im_w=320, num_regions=16, pose_seed=7, sym_objects=(3,),
+        cache_frames=True)
+
+    tr = TransparentTrainer(cfg, train_ds, test_dataset=test_ds,
+                            log_dir=f"{args.log_root}/trpes")
+    tr.init_state()
+    t0 = time.time()
+    for epoch in range(args.epochs):
+        tr.train_epoch(epoch)
+        if (epoch + 1) % 4 == 0:
+            s = tr.test_epoch(epoch)
+            print(f"[trpes] epoch {epoch}: {json.dumps(s['overall'])}",
+                  flush=True)
+    train_sec = time.time() - t0
+    summary = tr.test_epoch(999)
+
+    results = {
+        "fixture": "SyntheticTransparentDataset(4 objects, 1 symmetric, "
+                   "held-out pose_seed=7 split)",
+        "protocol": "batched TRPESNet eval: confidence-argmax point pose, "
+                    "allocentric->egocentric rotation, ADD(-S) < 0.1 * "
+                    "true max-pairwise diameter",
+        "epochs": args.epochs,
+        "steps": int(tr.state.step),
+        "train_seconds": round(train_sec, 1),
+        "train_fps": round(int(tr.state.step) * cfg.train.batch_size
+                           / max(train_sec, 1e-9), 1),
+        "per_object": summary["per_object"],
+        "overall": summary["overall"],
+    }
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results["overall"], indent=2))
+
+
+if __name__ == "__main__":
+    main()

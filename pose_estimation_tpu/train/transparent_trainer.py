@@ -57,7 +57,12 @@ def build_transparent_train_step(model, tx, weights=None) -> Callable:
 
         (loss, losses), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        finite = jnp.isfinite(loss)
+        # Skip when the loss OR any gradient is non-finite — an inf/nan
+        # gradient under a finite loss is the usual way params get poisoned
+        # (same guard as the KRRN step, parallel/train_step.py).
+        gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                             for g in jax.tree.leaves(grads)))
+        finite = jnp.isfinite(loss) & jnp.isfinite(gnorm)
         grads = jax.tree.map(
             lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
         new_state = state.apply_gradients(tx, grads, rng=new_rng)

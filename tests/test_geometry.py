@@ -123,6 +123,22 @@ class TestAllocentric:
         r_back = geo.ego_to_allo_matrix(t, r_ego)
         np.testing.assert_allclose(np.asarray(r_back), np.asarray(r), atol=1e-3)
 
+    def test_grad_finite_near_axis_bf16(self, rng):
+        """Regression: bf16 translations near the optical axis rounded
+        obj_ray_z to exactly 1.0, making the arccos gradient inf and
+        poisoning every upstream gradient of the transparent pose loss
+        (finite loss, NaN grads — the in-step loss guard missed it)."""
+        r = jnp.asarray(_random_rotations(rng, 4), jnp.bfloat16)
+        # exactly on-axis + nearly-on-axis, in bf16
+        t = jnp.asarray([[0.0, 0.0, 0.5], [1e-4, 0.0, 0.3],
+                         [0.0, -1e-4, 1.0], [1e-3, 1e-3, 0.7]], jnp.bfloat16)
+
+        def f(tt):
+            return jnp.sum(geo.allo_to_ego_matrix(tt, r).astype(jnp.float32))
+
+        g = jax.grad(f)(t)
+        assert np.all(np.isfinite(np.asarray(g, np.float32)))
+
 
 class TestWarp:
     def test_crop_resize_vs_cv2(self, rng):
