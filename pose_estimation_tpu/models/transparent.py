@@ -102,25 +102,33 @@ class DenseFusion(nn.Module):
 class PosePredHead(nn.Module):
     """Per-point quaternion/translation/confidence with per-object output
     channels + one-hot class select (TRPES.py:154-203); optional
-    transformer stage (TRPES.py:97-151)."""
+    transformer stage (TRPES.py:97-151). `use_equalized` swaps the dense
+    stack for equalized-LR layers (equalized.py:45-100 — the reference
+    vendors them behind a commented import, TRPES.py:16-17)."""
 
     num_obj: int
     use_transformer: bool = False
+    use_equalized: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, apx, obj, train: bool = False):
         b, n, _ = apx.shape
+        if self.use_equalized:
+            from pose_estimation_tpu.models.equalized import EqualizedDense
+            dense = lambda f: EqualizedDense(f, dtype=self.dtype)
+        else:
+            dense = lambda f: nn.Dense(f, dtype=self.dtype)
 
         def branch(out_dim, nhead):
-            x = nn.Dense(640, dtype=self.dtype)(apx)
+            x = dense(640)(apx)
             if self.use_transformer:
                 x = TransformerEncoderBlock(640, nhead,
                                             dtype=self.dtype)(x, train)
-            x = nn.Dense(256, dtype=self.dtype)(x)
+            x = dense(256)(x)
             if not self.use_transformer:
-                x = nn.Dense(128, dtype=self.dtype)(x)
-            x = nn.Dense(self.num_obj * out_dim, dtype=self.dtype)(x)
+                x = dense(128)(x)
+            x = dense(self.num_obj * out_dim)(x)
             x = x.reshape(b, n, self.num_obj, out_dim)
             onehot = jax.nn.one_hot(obj, self.num_obj, dtype=x.dtype)
             return jnp.einsum("bnod,bo->bnd", x, onehot)
@@ -142,6 +150,7 @@ class TRPESNet(nn.Module):
     num_points: int = 500
     num_obj: int = 5
     use_transformer: bool = False
+    use_equalized: bool = False
     norm: str = "gn"
     dtype: Any = jnp.float32
 
@@ -184,5 +193,6 @@ class TRPESNet(nn.Module):
 
         apx = DenseFusion(self.dtype)(geom_emb, color_emb)
         rx, tx, cx = PosePredHead(self.num_obj, self.use_transformer,
+                                  self.use_equalized,
                                   self.dtype)(apx, obj, train)
         return rx, tx, cx, pred_normal, pred_depth, pred_mask

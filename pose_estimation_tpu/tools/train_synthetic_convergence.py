@@ -21,10 +21,11 @@ import jax
 import numpy as np
 
 
-def make_cfg(schema, region_decode: bool = False):
+def make_cfg(schema, region_decode: bool = False, epochs: int = 160):
     return schema.override(
         schema.Config(),
-        **{"module.num_cls": 4, "data.num_regions": 16,
+        **{"train.num_epoch": epochs,   # real horizon -> LR anneal engages
+           "module.num_cls": 4, "data.num_regions": 16,
            "data.num_points": 512, "data.input_size": 96,
            "module.backbone_outc": 64, "module.stem_width": 32,
            "module.hrnet_stages": ((1, 2, (32, 32)), (2, 2, (32, 32, 64)),
@@ -41,32 +42,59 @@ def make_cfg(schema, region_decode: bool = False):
                                               support_num=4)})
 
 
+def build_device_store(dataset, cfg, key, chunk: int = 16):
+    """One slow pass: every sample preprocessed and stacked into
+    device-resident arrays [len(ds), ...].
+
+    Through the axon relay the host->device path runs at ~55 MB/s with
+    per-dispatch latency, and each full 240x320 frame ships ~3.4 MB — the
+    generic streaming loop measured 2.4 s/step vs 13 ms of device compute.
+    A fixture-sized dataset (~0.5 MB/sample post-crop) fits in HBM, so pay
+    the transfer once and gather batches on device (zero per-step H2D).
+    Crop/choose keys are fixed per index (no per-epoch re-jitter; pose
+    diversity across samples is the signal that matters here)."""
+    import jax.numpy as jnp
+    from pose_estimation_tpu.data.batching import make_batch
+
+    chunks = []
+    for start in range(0, len(dataset) - chunk + 1, chunk):
+        idx = list(range(start, start + chunk))
+        chunks.append(make_batch(dataset, idx, jax.random.fold_in(key, start),
+                                 cfg.data.input_size, cfg.data.num_points))
+    store = jax.tree.map(lambda *xs: jnp.concatenate(xs), *chunks)
+    jax.block_until_ready(store)
+    return store
+
+
 def run_variant(name: str, region_decode: bool, epochs: int,
-                frames_per_object: int, log_root: str):
+                train_ds, test_ds, store, log_root: str):
+    import jax.numpy as jnp
+    import numpy as np
     from pose_estimation_tpu.configs import schema
-    from pose_estimation_tpu.data.synthetic import SyntheticPoseDataset
+    from pose_estimation_tpu.data.batching import epoch_indices
     from pose_estimation_tpu.train.trainer import Trainer
 
-    cfg = make_cfg(schema, region_decode)
-    # 4 objects, one symmetric (class 3) for ADD-S coverage. Frames are
-    # cached after the first epoch (deterministic poses): the splat render
-    # is ~150 ms/frame on the single host CPU and would otherwise bound
-    # every epoch at ~3 s/step vs ~20 ms of device time.
-    train_ds = SyntheticPoseDataset(
-        num_objects=4, frames_per_object=frames_per_object,
-        im_h=240, im_w=320, num_regions=16, pose_seed=0, sym_objects=(3,),
-        cache_frames=True)
-    test_ds = SyntheticPoseDataset(
-        num_objects=4, frames_per_object=32,
-        im_h=240, im_w=320, num_regions=16, pose_seed=7, sym_objects=(3,),
-        cache_frames=True)
-
+    cfg = make_cfg(schema, region_decode, epochs=epochs)
     tr = Trainer(cfg, train_ds, test_dataset=test_ds,
                  log_dir=f"{log_root}/{name}")
     tr.init_state()
+
+    gather = jax.jit(lambda s, i: jax.tree.map(
+        lambda x: jnp.take(x, i, axis=0), s))
+
+    bs = cfg.train.batch_size
     t0 = time.time()
     for epoch in range(epochs):
-        tr.train_epoch(epoch)
+        ek = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), epoch)
+        for idx in epoch_indices(ek, len(train_ds), bs):
+            batch = gather(store, jnp.asarray(idx))
+            tr.state, metrics = tr.train_step(tr.state, batch, opt_pose=True)
+        # once per epoch (not per step — a scalar D2H through the relay
+        # costs more than the whole device step): divergence check
+        if not np.isfinite(float(metrics["loss"])):
+            print(f"[{name}] non-finite loss at epoch {epoch}; aborting",
+                  flush=True)
+            break
         if (epoch + 1) % 8 == 0:
             s = tr.test_epoch(epoch)
             print(f"[{name}] epoch {epoch}: "
@@ -88,14 +116,33 @@ def run_variant(name: str, region_decode: bool, epochs: int,
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--epochs", type=int, default=96)
-    p.add_argument("--frames_per_object", type=int, default=256)
+    p.add_argument("--epochs", type=int, default=160)
+    p.add_argument("--frames_per_object", type=int, default=512)
     p.add_argument("--out", default="RESULTS_synthetic.json")
     p.add_argument("--log_root", default="/tmp/convergence")
     p.add_argument("--skip_region_decode", action="store_true")
     args = p.parse_args(argv)
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
+    from pose_estimation_tpu.configs import schema
+    from pose_estimation_tpu.data.synthetic import SyntheticPoseDataset
+
+    # 4 objects, one symmetric (class 3) for ADD-S coverage; datasets and
+    # the device store are shared by both variants (the batch content is
+    # identical — only the train-step's offset encoding differs).
+    train_ds = SyntheticPoseDataset(
+        num_objects=4, frames_per_object=args.frames_per_object,
+        im_h=240, im_w=320, num_regions=16, pose_seed=0, sym_objects=(3,),
+        cache_frames=True)
+    test_ds = SyntheticPoseDataset(
+        num_objects=4, frames_per_object=32,
+        im_h=240, im_w=320, num_regions=16, pose_seed=7, sym_objects=(3,),
+        cache_frames=True)
+    cfg0 = make_cfg(schema, False, epochs=args.epochs)
+    print(f"building device store ({len(train_ds)} samples)...", flush=True)
+    store = build_device_store(train_ds, cfg0, jax.random.PRNGKey(777))
+
     results = {"fixture": "SyntheticPoseDataset(4 objects, 1 symmetric, "
                           "held-out pose_seed=7 split)",
                "protocol": "full PnP eval path (on-device EPnP-RANSAC "
@@ -104,11 +151,11 @@ def main(argv=None):
                            "5deg5cm; AUC over [0, 0.1m]",
                "variants": []}
     results["variants"].append(run_variant(
-        "raw_xyz", False, args.epochs, args.frames_per_object,
+        "raw_xyz", False, args.epochs, train_ds, test_ds, store,
         args.log_root))
     if not args.skip_region_decode:
         results["variants"].append(run_variant(
-            "region_decoded", True, args.epochs, args.frames_per_object,
+            "region_decoded", True, args.epochs, train_ds, test_ds, store,
             args.log_root))
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)

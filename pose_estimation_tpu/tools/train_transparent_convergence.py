@@ -18,13 +18,14 @@ import time
 import jax
 
 
-def make_cfg(schema):
+def make_cfg(schema, epochs: int = 64):
     # fixture-sized TRPESNet: the full 256-crop/1000-point cleargrasp
     # config is unnecessary for 2-object splat renders; geometry and loss
     # paths are identical.
     return schema.override(
         schema.transparent_cleargrasp(),
-        **{"module.num_cls": 4, "data.num_points": 256,
+        **{"train.num_epoch": epochs,   # real horizon -> LR anneal engages
+           "module.num_cls": 4, "data.num_points": 256,
            "data.input_size": 96, "train.batch_size": 16,
            "train.amp": True, "train.ckpt_every": 0,
            "train.lr.lr": 2e-4, "train.lr.warmup_iters": 100,
@@ -34,8 +35,8 @@ def make_cfg(schema):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--epochs", type=int, default=20)
-    p.add_argument("--frames_per_object", type=int, default=160)
+    p.add_argument("--epochs", type=int, default=64)
+    p.add_argument("--frames_per_object", type=int, default=256)
     p.add_argument("--out", default="RESULTS_transparent.json")
     p.add_argument("--log_root", default="/tmp/convergence_transparent")
     args = p.parse_args(argv)
@@ -49,7 +50,7 @@ def main(argv=None):
         TransparentTrainer)
     import numpy as np
 
-    cfg = make_cfg(schema)
+    cfg = make_cfg(schema, epochs=args.epochs)
     train_ds = SyntheticTransparentDataset(
         num_objects=4, frames_per_object=args.frames_per_object,
         im_h=240, im_w=320, num_regions=16, pose_seed=0, sym_objects=(3,),
@@ -62,10 +63,36 @@ def main(argv=None):
     tr = TransparentTrainer(cfg, train_ds, test_dataset=test_ds,
                             log_dir=f"{args.log_root}/trpes")
     tr.init_state()
+
+    # Device-resident sample store (same rationale as
+    # train_synthetic_convergence.build_device_store: the axon relay's
+    # ~55 MB/s H2D path makes streaming full frames the bottleneck; a
+    # fixture-sized dataset fits in HBM, so transfer once, gather on
+    # device per step).
+    import jax.numpy as jnp
+    print(f"[trpes] building device store ({len(train_ds)} samples)...",
+          flush=True)
+    chunks = []
+    bs = cfg.train.batch_size
+    for start in range(0, len(train_ds) - bs + 1, bs):
+        chunks.append(tr._batch(list(range(start, start + bs)), seed=start))
+    store = jax.tree.map(lambda *xs: jnp.concatenate(xs), *chunks)
+    jax.block_until_ready(store)
+    gather = jax.jit(lambda s, i: jax.tree.map(
+        lambda x: jnp.take(x, i, axis=0), s))
+
+    from pose_estimation_tpu.data.batching import epoch_indices
     t0 = time.time()
     for epoch in range(args.epochs):
-        tr.train_epoch(epoch)
-        if (epoch + 1) % 4 == 0:
+        ek = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), epoch)
+        for idx in epoch_indices(ek, len(train_ds), bs):
+            batch = gather(store, jnp.asarray(idx))
+            tr.state, metrics = tr.train_step(tr.state, batch)
+        if not np.isfinite(float(metrics["all_loss"])):
+            print(f"[trpes] non-finite loss at epoch {epoch}; aborting",
+                  flush=True)
+            break
+        if (epoch + 1) % 8 == 0:
             s = tr.test_epoch(epoch)
             print(f"[trpes] epoch {epoch}: {json.dumps(s['overall'])}",
                   flush=True)

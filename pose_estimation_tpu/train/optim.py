@@ -118,14 +118,20 @@ def ranger(learning_rate, betas=(0.95, 0.999), eps=1e-5,
     return optax.chain(*chain)
 
 
-def make_optimizer(cfg) -> optax.GradientTransformation:
+def make_optimizer(cfg, total_steps: int | None = None
+                   ) -> optax.GradientTransformation:
     """cfg: configs.schema.Config. Dispatch Ranger/Adam (train.py:92-132).
+
+    `total_steps`: the real training horizon for the flat-anneal schedule
+    (the reference passes epochs * len(dataloader) into
+    flat_and_anneal_lr_scheduler, ranger.py:241-249); without it the
+    schedule assumes 1000 steps/epoch and the anneal may never engage.
 
     A global-norm gradient clip wraps either optimizer (config
     train.optimizer.grad_clip; the reference has no clipping and relies on
     NaN-skip alone — clipping plus the train-step finite-grad guard is the
     production-robust combination)."""
-    sched = make_schedule(cfg)
+    sched = make_schedule(cfg, total_steps)
     opt = cfg.train.optimizer
     if opt.type.lower() == "ranger":
         core = ranger(sched, weight_decay=opt.weight_decay)

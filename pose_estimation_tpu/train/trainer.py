@@ -61,7 +61,9 @@ class Trainer:
         self.mesh = make_mesh(cfg.mesh.data, cfg.mesh.model)
         self.model = model or KRRN(
             cfg=cfg, dtype=jnp.bfloat16 if cfg.train.amp else jnp.float32)
-        self.tx = make_optimizer(cfg)
+        steps_per_epoch = max(1, len(dataset) // cfg.train.batch_size)
+        self.tx = make_optimizer(
+            cfg, total_steps=steps_per_epoch * cfg.train.num_epoch)
         self.train_step = build_train_step(self.model, self.tx, cfg)
         self.eval_step = build_eval_step(self.model, cfg)
         self.log = MetricsLogger(log_dir, "train")

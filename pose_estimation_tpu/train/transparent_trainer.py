@@ -94,7 +94,9 @@ class TransparentTrainer:
         self.model = model or TRPESNet(
             num_points=cfg.data.num_points, num_obj=cfg.module.num_cls,
             dtype=jnp.bfloat16 if cfg.train.amp else jnp.float32)
-        self.tx = make_optimizer(cfg)
+        steps_per_epoch = max(1, len(dataset) // cfg.train.batch_size)
+        self.tx = make_optimizer(
+            cfg, total_steps=steps_per_epoch * cfg.train.num_epoch)
         lw = cfg.train.loss
         weights = {"distance": lw.weight_pose, "rotation": lw.weight_region,
                    "normal": lw.weight_normal, "depth": lw.weight_xyz,

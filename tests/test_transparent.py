@@ -59,6 +59,21 @@ class TestHeads:
         assert c.shape == (2, 50, 1)
         assert np.asarray(c).min() >= 0 and np.asarray(c).max() <= 1
 
+    def test_posepred_equalized(self, key, rng):
+        """Equalized-LR dense stack (equalized.py:45-100; vendored behind a
+        commented import in the reference, TRPES.py:16-17): same shapes,
+        and the runtime he_std scaling keeps activations ~unit-scale from
+        the N(0,1) init."""
+        apx = jnp.asarray(rng.randn(2, 50, 1792).astype(np.float32))
+        obj = jnp.asarray([0, 2])
+        m = PosePredHead(num_obj=5, use_equalized=True)
+        params = m.init(key, apx, obj)
+        r, t, c = m.apply(params, apx, obj)
+        assert r.shape == (2, 50, 4)
+        assert np.isfinite(np.asarray(r)).all()
+        # unit-scale property: pre-sigmoid outputs not exploded
+        assert np.abs(np.asarray(t)).mean() < 50.0
+
 
 class TestTRPESNet:
     def test_forward(self, key, rng):
