@@ -35,11 +35,22 @@ def prepare_object(ply_path: str, num_model_points: int = 500,
         jnp.asarray(pts[None]), num_regions)[0])
     model_idx = np.asarray(farthest_point_sampling(
         jnp.asarray(pts[None]), num_model_points)[0])
+    # 8 FPS keypoints + 8 bbox corners: the kps_orb9_fps/*_8_kps.txt +
+    # corners assets lm_bop.py:180-190 loads (kps-based supervision
+    # variants; regenerated rather than shipped).
+    kps_idx = np.asarray(farthest_point_sampling(
+        jnp.asarray(pts[None]), 8)[0])
     lf = pts.min(0)
     ext = pts.max(0) - lf
+    hi = lf + ext
+    corners = np.array([[x, y, z] for x in (lf[0], hi[0])
+                        for y in (lf[1], hi[1])
+                        for z in (lf[2], hi[2])], np.float32)
     return {
         "model_points": pts[model_idx].astype(np.float32),
         "fps_centers": pts[fps_idx].astype(np.float32),
+        "kps_8": pts[kps_idx].astype(np.float32),
+        "corners": corners,
         "normals": (normals[model_idx].astype(np.float32)
                     if normals is not None else None),
         "lf_border": lf.astype(np.float32),
