@@ -66,6 +66,8 @@ class TrainConfig:
     start_pose_epoch: int = 10       # opt_pose gating (train.py:187-228)
     ckpt_every: int = 2000           # mid-epoch 'current' checkpoint cadence
     # (tools/trainer.py:137-138); 0 disables
+    eval_viz: bool = True            # pred-vs-gt overlay grid per test epoch
+    # (version/transparent/train.py:310-317,375-406)
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     loss: LossWeights = field(default_factory=LossWeights)
     lr: LrConfig = field(default_factory=LrConfig)
@@ -150,6 +152,8 @@ class MeshConfig:
     version/transparent/train.py:1221-1229)."""
     data: int = -1                   # -1: all available devices
     model: int = 1
+    dcn: int = 1                     # cross-slice (multi-slice/multi-host)
+    # axis, outermost — the nprocs x WORLD_SIZE analog (train.py:1223-1229)
 
 
 @dataclass(frozen=True)

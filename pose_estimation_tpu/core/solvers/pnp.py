@@ -35,9 +35,19 @@ _EPS = 1e-9
 
 def _masked_choice(key: jax.Array, n: int, num: int,
                    mask: jax.Array) -> jax.Array:
-    """Sample `num` indices (with replacement) ~ uniform over mask==1."""
-    logits = jnp.where(mask > 0, 0.0, -1e30)
-    return jax.random.categorical(key, logits, shape=(num,))
+    """Sample `num` DISTINCT indices ~ uniform over mask==1.
+
+    Gumbel top-k: adding iid Gumbel noise to equal logits and taking the
+    top `num` is an exact uniform sample WITHOUT replacement, in static
+    shapes (one top_k, no rejection loop). Duplicate points in a minimal
+    EPnP subset make the control-point system rank-deficient, wasting the
+    hypothesis — cv2.solvePnPRansac samples distinct points (the parity
+    target, tools/trainer.py:423-427); with replacement at n=256/num=6
+    ~5.7% of hypotheses contained a duplicate."""
+    g = jax.random.gumbel(key, (n,), dtype=jnp.float32)
+    scores = jnp.where(mask > 0, g, -jnp.inf)
+    _, ids = jax.lax.top_k(scores, num)
+    return ids
 
 
 @partial(jax.jit, static_argnames=("num_hypotheses", "sample_size",

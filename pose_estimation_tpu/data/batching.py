@@ -90,8 +90,29 @@ def epoch_indices(key, num_samples: int, batch_size: int, shard_count: int = 1,
                   shard_index: int = 0):
     """Shuffled per-epoch index batches; disjoint shards per host — the
     DistributedSampler semantics (train.py:1239, set_epoch reshuffle) done
-    as seeded index arithmetic."""
+    as seeded index arithmetic. Training-only: drops the <batch_size tail
+    (like torch drop_last); eval must use `eval_indices` to cover every
+    sample."""
     perm = np.asarray(jax.random.permutation(key, num_samples))
     perm = perm[shard_index::shard_count]
     n_batches = len(perm) // batch_size
     return perm[: n_batches * batch_size].reshape(n_batches, batch_size)
+
+
+def eval_indices(num_samples: int, batch_size: int, shard_count: int = 1,
+                 shard_index: int = 0):
+    """Deterministic full-coverage eval batches: (indices, valid).
+
+    Every sample appears exactly once, in dataset order; the final batch is
+    padded by repeating index 0 and `valid` marks the real rows so the
+    metric accumulator can drop padding. The reference evaluates the whole
+    test loader (tools/trainer.py:145-368); the shuffled+truncated
+    epoch_indices silently skipped up to batch_size-1 samples per eval.
+    """
+    ids = np.arange(num_samples)[shard_index::shard_count]
+    n_batches = max(1, -(-len(ids) // batch_size))
+    pad = n_batches * batch_size - len(ids)
+    valid = np.concatenate([np.ones(len(ids), bool), np.zeros(pad, bool)])
+    ids = np.concatenate([ids, np.zeros(pad, ids.dtype)])
+    return (ids.reshape(n_batches, batch_size),
+            valid.reshape(n_batches, batch_size))

@@ -12,9 +12,14 @@ lib/network/hrnet/config.yaml:1-45:
 Outputs (myhrnet.py:511-527): branch features upsampled to 1/4 res and
 concatenated (576ch), then
   feat_quarter: conv3x3(576)+conv1x1 -> backbone_outc @ 1/4 (the "x" output,
-                consumed by NMLNet — krrn.py:93-95)
+                consumed by XYZHead — models/krrn.py:123-125, matching the
+                reference's krrn.py:94-95 wiring)
   feat_half:    deconv(576+outc -> outc, x2) + BasicBlock -> outc @ 1/2
-                (the "y" output, consumed by XYZNet)
+                (the "y" output, consumed by NMLHead — models/krrn.py:126-127)
+
+(SURVEY.md §1 erratum: its layer map describes these two head inputs
+swapped; the wiring above is what the reference actually does,
+myhrnet.py:511-527 + krrn.py:94-95.)
 
 TPU-first deltas from the reference: NHWC, GroupNorm default (BatchNorm
 parity option), single fused module list instead of torch ModuleList

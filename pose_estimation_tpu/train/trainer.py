@@ -21,14 +21,16 @@ import numpy as np
 from pose_estimation_tpu.configs.schema import Config
 from pose_estimation_tpu.metrics.metric import PerObjectAccumulator
 from pose_estimation_tpu.models.krrn import KRRN
-from pose_estimation_tpu.parallel.mesh import make_mesh, shard_batch
+from pose_estimation_tpu.parallel.mesh import (
+    make_mesh, replicated, shard_batch)
 from pose_estimation_tpu.parallel.train_step import (
     build_eval_step, build_train_step)
 from pose_estimation_tpu.train.checkpoint import CheckpointManager
 from pose_estimation_tpu.train.guards import TrainGuard
 from pose_estimation_tpu.train.optim import make_optimizer
 from pose_estimation_tpu.train.state import TrainState
-from pose_estimation_tpu.data.batching import epoch_indices, make_batch
+from pose_estimation_tpu.data.batching import (
+    epoch_indices, eval_indices, make_batch)
 
 
 class MetricsLogger:
@@ -58,7 +60,11 @@ class Trainer:
         self.cfg = cfg
         self.dataset = dataset
         self.test_dataset = test_dataset or dataset
-        self.mesh = make_mesh(cfg.mesh.data, cfg.mesh.model)
+        self.mesh = make_mesh(cfg.mesh.data, cfg.mesh.model, cfg.mesh.dcn)
+        # Per-process disjoint data shards (DistributedSampler semantics,
+        # train.py:1239): single-process runs see shard 0 of 1.
+        self.shard_count = jax.process_count()
+        self.shard_index = jax.process_index()
         self.model = model or KRRN(
             cfg=cfg, dtype=jnp.bfloat16 if cfg.train.amp else jnp.float32)
         steps_per_epoch = max(1, len(dataset) // cfg.train.batch_size)
@@ -109,12 +115,20 @@ class Trainer:
             restored = None
         if restored is not None:
             self.state = restored
+        # Commit the state to the mesh (replicated): leaving it uncommitted
+        # lets a cached single-device executable of train_step (compiled
+        # from a direct unsharded-batch call, e.g. in tests) pin the step-1
+        # output to device 0, which then conflicts with mesh-sharded
+        # batches at step 2.
+        self.state = jax.device_put(self.state, replicated(self.mesh))
         return self.state
 
     def train_epoch(self, epoch: int, steps: int | None = None):
         cfg = self.cfg
         key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), epoch)
-        batches = epoch_indices(key, len(self.dataset), cfg.train.batch_size)
+        batches = epoch_indices(key, len(self.dataset), cfg.train.batch_size,
+                                shard_count=self.shard_count,
+                                shard_index=self.shard_index)
         if steps is not None:
             batches = batches[:steps]
         opt_pose = (cfg.train.enable_pose
@@ -155,10 +169,15 @@ class Trainer:
         cfg = self.cfg
         acc = PerObjectAccumulator(cfg.module.num_cls)
         key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 2), epoch)
-        batches = epoch_indices(key, len(self.test_dataset),
-                                cfg.train.batch_size)
+        # Full-coverage eval: deterministic order, final batch padded and
+        # the padding masked out of the accumulator — every test sample
+        # scores exactly once (the reference walks the whole test loader,
+        # tools/trainer.py:145-368; the old shuffled epoch_indices dropped
+        # up to batch_size-1 samples per eval).
+        batches, valid = eval_indices(len(self.test_dataset),
+                                      cfg.train.batch_size)
         if max_batches is not None:
-            batches = batches[:max_batches]
+            batches, valid = batches[:max_batches], valid[:max_batches]
         # prefetched: host batch assembly (decode + splat label regen)
         # overlaps device eval — real-data eval was host-bound otherwise
         from pose_estimation_tpu.data.prefetch import prefetched_epoch
@@ -169,9 +188,23 @@ class Trainer:
             batch = shard_batch(self.mesh, batch)
             out = self.eval_step(self.state, batch,
                                  jax.random.fold_in(key, bi))
-            acc.update(np.asarray(batch["cls"]),
-                       {k: np.asarray(v) for k, v in out.items()
+            keep = valid[bi]
+            acc.update(np.asarray(batch["cls"])[keep],
+                       {k: np.asarray(v)[keep] for k, v in out.items()
                         if np.asarray(v).ndim == 1})
+            if bi == 0 and cfg.train.eval_viz:
+                # pred-vs-gt overlay grid per test epoch
+                # (version/transparent/train.py:310-317,375-406 analog)
+                from pose_estimation_tpu.utils.viz import save_eval_grid
+                viz_dir = os.path.join(os.path.dirname(self.log.path), "viz")
+                os.makedirs(viz_dir, exist_ok=True)
+                try:
+                    save_eval_grid(
+                        os.path.join(viz_dir, f"epoch_{epoch:04d}.png"),
+                        batch, np.asarray(out["pred_r"]),
+                        np.asarray(out["pred_t"]))
+                except Exception as e:  # viz is best-effort (needs cv2)
+                    print(f"[trainer] eval viz skipped: {e}")
         summary = acc.summary()
         mean_dis = summary["overall"].get("add_dis", float("inf"))
         self.eval_log.log(int(self.state.step),

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from pose_estimation_tpu.losses.transparent_loss import transparent_loss
-from pose_estimation_tpu.parallel.mesh import make_mesh, shard_batch
+from pose_estimation_tpu.parallel.mesh import (
+    make_mesh, replicated, shard_batch)
 from pose_estimation_tpu.train.checkpoint import CheckpointManager
 from pose_estimation_tpu.train.state import TrainState
 
@@ -90,7 +91,9 @@ class TransparentTrainer:
         self.cfg = cfg
         self.dataset = dataset
         self.test_dataset = test_dataset or dataset
-        self.mesh = make_mesh(cfg.mesh.data, cfg.mesh.model)
+        self.mesh = make_mesh(cfg.mesh.data, cfg.mesh.model, cfg.mesh.dcn)
+        self.shard_count = jax.process_count()
+        self.shard_index = jax.process_index()
         self.model = model or TRPESNet(
             num_points=cfg.data.num_points, num_obj=cfg.module.num_cls,
             dtype=jnp.bfloat16 if cfg.train.amp else jnp.float32)
@@ -145,6 +148,9 @@ class TransparentTrainer:
             restored = None
         if restored is not None:
             self.state = restored
+        # Commit to the mesh (see Trainer.init_state: avoids cached
+        # single-device executables pinning step outputs to device 0).
+        self.state = jax.device_put(self.state, replicated(self.mesh))
         return self.state
 
     def train_epoch(self, epoch: int, steps: int | None = None):
@@ -152,7 +158,9 @@ class TransparentTrainer:
         from pose_estimation_tpu.data.prefetch import Prefetcher
         cfg = self.cfg
         key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), epoch)
-        batches = epoch_indices(key, len(self.dataset), cfg.train.batch_size)
+        batches = epoch_indices(key, len(self.dataset), cfg.train.batch_size,
+                                shard_count=self.shard_count,
+                                shard_index=self.shard_index)
         if steps is not None:
             batches = batches[:steps]
 
@@ -184,26 +192,28 @@ class TransparentTrainer:
         return self.state
 
     def test_epoch(self, epoch: int, max_batches: int | None = None):
-        from pose_estimation_tpu.data.batching import epoch_indices
+        from pose_estimation_tpu.data.batching import eval_indices
         from pose_estimation_tpu.data.prefetch import Prefetcher
         from pose_estimation_tpu.metrics.metric import PerObjectAccumulator
         cfg = self.cfg
         acc = PerObjectAccumulator(cfg.module.num_cls)
-        key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 2), epoch)
-        batches = epoch_indices(key, len(self.test_dataset),
-                                cfg.train.batch_size)
+        # Deterministic full coverage with final-batch padding masked out
+        # (same rationale as Trainer.test_epoch).
+        batches, valid = eval_indices(len(self.test_dataset),
+                                      cfg.train.batch_size)
         if max_batches is not None:
-            batches = batches[:max_batches]
+            batches, valid = batches[:max_batches], valid[:max_batches]
 
         def gen():
             for bi, idx in enumerate(batches):
                 yield self._batch(idx, seed=epoch * 131 + bi + 7777)
 
-        for batch in Prefetcher(gen()):
+        for bi, batch in enumerate(Prefetcher(gen())):
             sbatch = shard_batch(self.mesh, batch)
             out = self.eval_step(self.state, sbatch)
-            cls = np.asarray(batch["obj"]).reshape(-1)
-            dis = np.asarray(out["add_dis"]).reshape(-1)
+            keep = valid[bi]
+            cls = np.asarray(batch["obj"]).reshape(-1)[keep]
+            dis = np.asarray(out["add_dis"]).reshape(-1)[keep]
             ok = (dis < 0.1 * self._diameters[cls]).astype(np.float32)
             acc.update(cls, {"add_dis": dis, "add_ok": ok})
         summary = acc.summary()

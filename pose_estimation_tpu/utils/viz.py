@@ -73,6 +73,44 @@ def align_rotation(r: np.ndarray) -> np.ndarray:
     return np.stack([x, y, z], axis=1)
 
 
+def save_eval_grid(path: str, batch: dict, pred_r, pred_t,
+                   max_images: int = 4) -> str:
+    """Save a pred-vs-gt 3D-bbox overlay strip for the first few eval crops
+    (the reference logs pred/gt image grids each test epoch —
+    version/transparent/train.py:310-317,375-406). Green = GT, red = pred.
+
+    Points project with the original K; crop pixels follow by inverting the
+    CenterNet crop affine (core/geometry/warp.py crop_affine_coords:
+    dst = (src - center) * S/side + S/2), composed into K as a left affine.
+    """
+    import cv2
+    n = min(max_images, len(np.asarray(pred_r)))
+    tiles = []
+    for i in range(n):
+        img = np.clip(np.asarray(batch["img"][i]) * 255.0,
+                      0, 255).astype(np.uint8)
+        s = img.shape[0]
+        center = np.asarray(batch["bbox_center"][i], np.float32)
+        side = float(np.asarray(batch["bbox_side"][i]))
+        a = s / max(side, 1e-6)
+        affine = np.array([[a, 0, s * 0.5 - a * center[0]],
+                           [0, a, s * 0.5 - a * center[1]],
+                           [0, 0, 1]], np.float32)
+        k_crop = affine @ np.asarray(batch["k"][i], np.float32)
+        ext = np.asarray(batch["extent"][i])
+        lf = np.asarray(batch["lf_border"][i])
+        out = draw_pose_bbox(img, np.asarray(batch["target_r"][i]),
+                             np.asarray(batch["target_t"][i]), k_crop,
+                             ext, lf, color=(0, 255, 0))
+        out = draw_pose_bbox(out, np.asarray(pred_r[i]),
+                             np.asarray(pred_t[i]), k_crop,
+                             ext, lf, color=(255, 0, 0))
+        tiles.append(out)
+    grid = np.concatenate(tiles, axis=1)
+    cv2.imwrite(path, grid[..., ::-1])  # RGB -> BGR
+    return path
+
+
 def draw_points(img: np.ndarray, points, r, t, k, color=(255, 0, 0)):
     import cv2
     out = np.ascontiguousarray(img.copy())

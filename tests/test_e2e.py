@@ -113,3 +113,44 @@ class TestTrainEval:
         # translation tolerance is loose: labels are nearest-sampled at
         # crop res (the deployed pipeline takes t from regression anyway)
         assert terr < 0.05, terr
+
+
+class TestFullCoverageEval:
+    def test_eval_indices_cover_every_sample(self):
+        from pose_estimation_tpu.data.batching import eval_indices
+        ids, valid = eval_indices(10, 4)
+        assert ids.shape == (3, 4) and valid.shape == (3, 4)
+        # every sample exactly once among the valid rows
+        flat = ids[valid]
+        assert sorted(flat.tolist()) == list(range(10))
+        assert valid.sum() == 10
+        # exact multiple: no padding
+        ids2, valid2 = eval_indices(8, 4)
+        assert valid2.all() and ids2.size == 8
+        # sharding: disjoint union of shards covers everything
+        a, va = eval_indices(10, 4, shard_count=2, shard_index=0)
+        b, vb = eval_indices(10, 4, shard_count=2, shard_index=1)
+        union = sorted(a[va].tolist() + b[vb].tolist())
+        assert union == list(range(10))
+
+    def test_test_epoch_covers_whole_dataset(self, dataset, tiny_cfg):
+        """test_epoch must score every test sample exactly once even when
+        len(dataset) % batch_size != 0 (the reference walks the full test
+        loader, tools/trainer.py:145-368), and dump the pred-vs-gt viz
+        grid (version/transparent/train.py:310-317,375-406)."""
+        import os
+        import tempfile
+        from pose_estimation_tpu.configs import schema
+        from pose_estimation_tpu.train.trainer import Trainer
+        cfg = schema.override(tiny_cfg, **{"train.batch_size": 3})
+        with tempfile.TemporaryDirectory() as td:
+            tr = Trainer(cfg, dataset, log_dir=td)
+            tr.init_state()
+            summary = tr.test_epoch(0)
+            # 8 samples, bs=3 -> 3 batches with 1 padded row masked out
+            assert summary["overall"]["count"] == len(dataset)
+            counts = {c: v["count"]
+                      for c, v in summary["per_object"].items()}
+            assert sum(counts.values()) == len(dataset)
+            viz = os.path.join(td, "viz", "epoch_0000.png")
+            assert os.path.exists(viz), "eval viz grid not written"
