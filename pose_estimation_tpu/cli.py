@@ -46,10 +46,14 @@ def build_dataset(cfg: schema.Config, args, mode: str = "train"):
                               cls_type=cfg.cls_type, cfg=cfg)
     if cfg.dataset == "ycb":
         from pose_estimation_tpu.data.ycb import YCBVideoDataset
-        split = "train_real" if mode == "train" else "test"
+        # split='train' composes train_real + train_synt with synthetic
+        # background paste (dataset.py:43-50,236-244)
+        split = "train" if mode == "train" else "test"
         return YCBVideoDataset(args.dataset_root, split=split,
                                cls_type=cfg.cls_type,
-                               num_regions=cfg.data.num_regions)
+                               num_regions=cfg.data.num_regions,
+                               background_dir=getattr(
+                                   args, "background_dir", None))
     if cfg.dataset == "cleargrasp":
         from pose_estimation_tpu.data.cleargrasp import ClearGraspDataset
         return ClearGraspDataset(
@@ -80,6 +84,9 @@ def main(argv=None):
     p.add_argument("--synthetic", action="store_true",
                    help="use the synthetic fixture dataset")
     p.add_argument("--frames_per_object", type=int, default=64)
+    p.add_argument("--background_dir", default=None,
+                   help="background image dir for synthetic-frame paste "
+                        "(the reference uses COCO val2017, dataset.py:25)")
     p.add_argument("--epochs", type=int, default=None)
     args = p.parse_args(argv)
 

@@ -24,6 +24,8 @@ class LossWeights:
     weight_mask: float = 1.0
     weight_normal: float = 1.0
     weight_pose: float = 1.0
+    weight_refine: float = 0.1       # train-time differentiable-PnP ADD
+    # loss (Train.REFINE / BPnP path, tools/trainer.py:52)
 
 
 @dataclass(frozen=True)
@@ -122,6 +124,10 @@ class ModuleConfig:
     # absolute coords at eval as offset + argmax-region center. False =
     # round-1 behavior (absolute xyz head, raw-xyz eval).
     xyz_offset_decode: bool = False
+    region_soft_decode: bool = True  # eval decodes offsets against the
+    # softmax-expected region center (lib/network/loss_utils.py:19-29
+    # get_xyz convention) instead of the argmax center
+    # (tools/script/eval.py:94-105); softens region-boundary errors
 
 
 @dataclass(frozen=True)

@@ -51,11 +51,12 @@ def _masked_choice(key: jax.Array, n: int, num: int,
 
 
 @partial(jax.jit, static_argnames=("num_hypotheses", "sample_size",
-                                   "refine_iters"))
+                                   "refine_iters", "robust_refine"))
 def pnp_ransac(key: jax.Array, pw: jax.Array, uv: jax.Array, k: jax.Array,
                mask: jax.Array | None = None,
                num_hypotheses: int = 64, sample_size: int = 6,
-               inlier_px: float = 2.0, refine_iters: int = 5):
+               inlier_px: float = 2.0, refine_iters: int = 5,
+               robust_refine: bool = False):
     # refine_iters=5 measured accuracy-equivalent to 10 (median rot err
     # 0.140 vs 0.144 deg on noisy+25%-outlier scenes); LM iterations are
     # the deepest sequential chain in the eval program.
@@ -99,6 +100,12 @@ def pnp_ransac(key: jax.Array, pw: jax.Array, uv: jax.Array, k: jax.Array,
     # Refine on the best hypothesis's inliers; if degenerate (few inliers)
     # fall back to all masked points.
     w_inl = inl[best].astype(pw.dtype)
+    if robust_refine:
+        # Cauchy reweighting over ALL masked points instead of the hard
+        # 2px cut: every point contributes, downweighted smoothly by its
+        # residual at the winning hypothesis — averages more of the
+        # coordinate-map noise into the LM fit than a binary inlier set.
+        w_inl = mask / (1.0 + (err[best] / inlier_px) ** 2)
     w_ref = jnp.where(scores[best] >= sample_size, w_inl, mask)
     pose, mse = refine_pose_lm(pose0, pw, uv, k, w_ref, iters=refine_iters)
 

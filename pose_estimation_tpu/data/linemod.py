@@ -184,9 +184,17 @@ class LinemodBOPDataset:
             self._objects_by_cls.append(obj)
 
         self.index = []  # (scene_dir, im_id, obj_id, R, t, K, depth_scale)
-        split_dir = os.path.join(root, split)
-        for scene in sorted(os.listdir(split_dir)):
-            sdir = os.path.join(split_dir, scene)
+        # `split` may be a list of subtrees composed into one index —
+        # YCB-V trains on real + synthetic frames jointly
+        # (version/transparent/datasets/ycb/dataset.py:43-50 builds the
+        # train list from both sources).
+        splits = [split] if isinstance(split, str) else list(split)
+        scene_dirs = []
+        for sp in splits:
+            split_dir = os.path.join(root, sp)
+            scene_dirs += [os.path.join(split_dir, s)
+                           for s in sorted(os.listdir(split_dir))]
+        for sdir in scene_dirs:
             gt_p = os.path.join(sdir, "scene_gt.json")
             cam_p = os.path.join(sdir, "scene_camera.json")
             if not (os.path.isfile(gt_p) and os.path.isfile(cam_p)):
@@ -253,6 +261,13 @@ class LinemodBOPDataset:
             frame["det_center"] = np.array([x + bw / 2.0, y + bh / 2.0],
                                            np.float32)
             frame["det_side"] = np.float32(max(bw, bh) * 1.2)
+        return self._post_frame(frame, depth, i, sdir)
+
+    def _post_frame(self, frame: dict, depth_full: np.ndarray, i: int,
+                    sdir: str) -> dict:
+        """Subclass hook after frame assembly; receives the full-frame
+        depth (frame['depth'] is already masked to the target object).
+        YCB-V uses it for synthetic background paste + augmentation."""
         return frame
 
 

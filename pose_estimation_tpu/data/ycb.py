@@ -40,15 +40,62 @@ class YCBVideoDataset(LinemodBOPDataset):
     """BOP-layout YCB-V; per-scene intrinsics come from scene_camera.json
     so the CMU/UW split (dataset.py:79-87) is handled transparently, and
     the per-image BOP depth_scale (0.1 for YCB-V: png units are 0.1 mm)
-    comes from the same file — the divisor here only converts mm -> m."""
+    comes from the same file — the divisor here only converts mm -> m.
+
+    split='train' composes BOTH the real and synthetic subtrees
+    (train_real + train_synt) into one index, the reference's
+    train_data_list.txt semantics (dataset.py:43-50); synthetic frames
+    get a random background pasted over their empty pixels
+    (dataset.py:236-244 pastes COCO val2017; here a BackgroundBank —
+    point `background_dir` at a COCO download, or it falls back to
+    procedural textures so training never blocks on one) plus the
+    standard color-jitter / translation-noise augmentation.
+    """
+
+    TRAIN_SPLITS = ("train_real", "train_synt")
 
     def __init__(self, root: str, split: str = "test",
                  cls_type: str = "all", num_regions: int = 64,
-                 depth_scale: float = 1000.0):
-        super().__init__(root, split=split, cls_type=cls_type,
+                 depth_scale: float = 1000.0,
+                 augment: bool | None = None,
+                 background_dir: str | None = None,
+                 noise_trans: float = 0.03, seed: int = 0):
+        import os
+        if split == "train":
+            splits = [s for s in self.TRAIN_SPLITS
+                      if os.path.isdir(os.path.join(root, s))]
+            splits = splits or ["train"]
+        else:
+            splits = [split]
+        self.augment = (split == "train") if augment is None else augment
+        self.noise_trans = noise_trans
+        self.seed = seed
+        from pose_estimation_tpu.data.augment import BackgroundBank
+        self.backgrounds = BackgroundBank(background_dir)
+        super().__init__(root, split=splits, cls_type=cls_type,
                          num_regions=num_regions, depth_scale=depth_scale,
                          object_ids=list(range(1, YCB_NUM_OBJECTS + 1)),
                          sym_ids=YCB_SYM_IDS, object_names=YCB_NAMES)
 
     def is_symmetric(self, obj_id: int) -> bool:
         return obj_id in YCB_SYM_IDS
+
+    def _post_frame(self, frame: dict, depth_full: np.ndarray, i: int,
+                    sdir: str) -> dict:
+        import os
+        rng = np.random.RandomState(self.seed * 77003 + i)
+        parts = os.path.normpath(sdir).split(os.sep)
+        if "train_synt" in parts:
+            # synthetic renders have empty backgrounds; keep every
+            # rendered pixel (full-frame depth > 0 covers all objects,
+            # not just the target instance) and paste elsewhere
+            from pose_estimation_tpu.data.augment import paste_background
+            scene_mask = (depth_full > 0).astype(np.int32)
+            frame["rgb"] = paste_background(rng, frame["rgb"], scene_mask,
+                                            self.backgrounds)
+        if self.augment:
+            from pose_estimation_tpu.data.augment import (
+                color_jitter, translation_noise)
+            frame["rgb"] = color_jitter(rng, frame["rgb"])
+            frame["t_noise"] = translation_noise(rng, self.noise_trans)
+        return frame

@@ -19,9 +19,10 @@ import jax
 import jax.numpy as jnp
 
 from pose_estimation_tpu.configs.schema import Config
-from pose_estimation_tpu.core.solvers.pnp import pnp_ransac
+from pose_estimation_tpu.core.geometry.rotations import axis_angle_to_matrix
+from pose_estimation_tpu.core.solvers.pnp import pnp_implicit, pnp_ransac
 from pose_estimation_tpu.data.pipeline import denormalize_xyz
-from pose_estimation_tpu.losses.pose_loss import krrn_loss
+from pose_estimation_tpu.losses.pose_loss import krrn_loss, pose_loss
 from pose_estimation_tpu.metrics.metric import pose_accuracy
 
 
@@ -34,6 +35,55 @@ def loss_weights_dict(cfg: Config):
     }
 
 
+def build_refine_loss(cfg: Config, num_points: int = 128,
+                      num_hypotheses: int = 8) -> Callable:
+    """Train-time differentiable-PnP ADD loss (the Train.REFINE / BPnP
+    capability: the reference instantiates BPnPModle in its Trainer,
+    tools/trainer.py:52 + lib/network/dnn/BPnP.py:8-117).
+
+    The solve itself is non-differentiable (argmax winner, while-loop LM),
+    so it runs under stop_gradient; `pnp_implicit` then re-attaches
+    gradients at the solution via the implicit function theorem on the
+    inlier-weighted reprojection objective — d(pose)/d(pw) flows into the
+    xyz head through denormalize_xyz. Few hypotheses / points keep the
+    per-step cost small (the full-strength solver belongs to eval)."""
+    offset_decode = cfg.module.xyz_offset_decode
+
+    def refine_loss(out, batch, key):
+        xyz_emb = out["xyz_emb"].astype(jnp.float32)          # [B, N, 3]
+        if offset_decode:
+            # offsets -> absolute coords via the soft region decode (same
+            # convention as eval; get_xyz, lib/network/loss_utils.py:19-29)
+            b, h, w, r1 = out["region"].shape
+            region_flat = out["region"].reshape(b, h * w, r1)
+            region_emb = jnp.take_along_axis(
+                region_flat, batch["choose"][..., None], axis=1)
+            wgt = jax.nn.softmax(region_emb.astype(jnp.float32), -1)
+            xyz_emb = xyz_emb + jnp.einsum("bnr,brc->bnc", wgt,
+                                           batch["region_points"])
+        n = batch["choose"].shape[1]
+        stride = max(n // num_points, 1)
+        sel = jnp.arange(num_points) * stride % n
+        pw = denormalize_xyz(xyz_emb[:, sel], batch["lf_border"],
+                             batch["extent"])
+        uv = batch["xy_choosed"][:, sel]
+        keys = jax.random.split(key, pw.shape[0])
+        pw_sg = jax.lax.stop_gradient(pw)
+        pnp = jax.vmap(lambda kk, p, u, km: pnp_ransac(
+            kk, p, u, km, num_hypotheses=num_hypotheses, inlier_px=2.0,
+            refine_iters=3))(keys, pw_sg, uv, batch["k"])
+        wts = jax.lax.stop_gradient(
+            pnp["inliers"].astype(jnp.float32) + 1e-3)
+        pose6 = jax.vmap(pnp_implicit)(
+            jax.lax.stop_gradient(pnp["pose6"]), pw, uv, batch["k"], wts)
+        r = jax.vmap(axis_angle_to_matrix)(pose6[:, :3])
+        t = pose6[:, 3:]
+        return pose_loss(r, t, batch["target"], batch["model_points"],
+                         batch["sym_mask"])
+
+    return refine_loss
+
+
 def build_train_step(model, tx, cfg: Config) -> Callable:
     """Returns train_step(state, batch, opt_pose) -> (state, metrics).
 
@@ -43,6 +93,9 @@ def build_train_step(model, tx, cfg: Config) -> Callable:
     weights = loss_weights_dict(cfg)
     use_bn = cfg.module.norm == "bn"
     offset_decode = cfg.module.xyz_offset_decode
+    refine = cfg.train.refine
+    refine_loss = build_refine_loss(cfg) if refine else None
+    w_refine = cfg.train.loss.weight_refine
 
     @functools.partial(jax.jit, static_argnames=("opt_pose",),
                        donate_argnums=(0,))
@@ -78,6 +131,14 @@ def build_train_step(model, tx, cfg: Config) -> Callable:
             else:
                 out, new_bs = (out[0] if isinstance(out, tuple) else out), None
             losses = krrn_loss(out, batch, weights, opt_pose=opt_pose)
+            if refine and opt_pose:
+                # REFINE mode: differentiable-PnP ADD term on the decoded
+                # coordinates (tools/trainer.py:52 Train.REFINE analog)
+                losses = dict(losses)
+                losses["loss_refine"] = refine_loss(
+                    out, batch, jax.random.fold_in(step_rng, 2))
+                losses["loss"] = (losses["loss"]
+                                  + w_refine * losses["loss_refine"])
             return losses["loss"], (losses, new_bs)
 
         (loss, (losses, new_bs)), grads = jax.value_and_grad(
@@ -102,7 +163,8 @@ def build_train_step(model, tx, cfg: Config) -> Callable:
 
 
 def build_eval_step(model, cfg: Config, num_pnp_points: int = 256,
-                    pnp_hypotheses: int = 32) -> Callable:
+                    pnp_hypotheses: int = 32,
+                    robust_refine: bool = False) -> Callable:
     """Returns eval_step(params, batch, key) -> dict of per-sample metrics.
 
     Full on-device pose recovery (tools/trainer.py:383-438 equivalent):
@@ -112,6 +174,7 @@ def build_eval_step(model, cfg: Config, num_pnp_points: int = 256,
     """
     use_bn = cfg.module.norm == "bn"
     offset_decode = cfg.module.xyz_offset_decode
+    soft_decode = cfg.module.region_soft_decode
 
     # Two compiled programs: fusing the conv model with the solver into one
     # XLA program degrades the v5e schedule ~10x (see bench.py note).
@@ -125,15 +188,24 @@ def build_eval_step(model, cfg: Config, num_pnp_points: int = 256,
                           opt_pose=True)
         xyz_emb = out["xyz_emb"]
         if offset_decode:
-            # Region-decoded coordinates (tools/script/eval.py:94-105):
-            # absolute = offset + argmax-region center, at chosen pixels.
+            # Region-decoded coordinates: absolute = offset + region
+            # center at chosen pixels. Soft (default): softmax-expected
+            # center (get_xyz, lib/network/loss_utils.py:19-29) — a pixel
+            # whose region posterior straddles a boundary decodes to the
+            # blend, not a hard snap to the argmax cell. Hard: argmax
+            # center (tools/script/eval.py:94-105).
             b, h, w, r1 = out["region"].shape
             region_flat = out["region"].reshape(b, h * w, r1)
             region_emb = jnp.take_along_axis(
                 region_flat, batch["choose"][..., None], axis=1)
-            idx = jnp.argmax(region_emb, axis=-1)            # [B, N]
-            base = jnp.take_along_axis(batch["region_points"],
-                                       idx[..., None], axis=1)
+            if soft_decode:
+                wgt = jax.nn.softmax(region_emb.astype(jnp.float32), -1)
+                base = jnp.einsum("bnr,brc->bnc", wgt,
+                                  batch["region_points"])
+            else:
+                idx = jnp.argmax(region_emb, axis=-1)        # [B, N]
+                base = jnp.take_along_axis(batch["region_points"],
+                                           idx[..., None], axis=1)
             xyz_emb = xyz_emb + base
         return xyz_emb, out["pred_t"]
 
@@ -152,7 +224,8 @@ def build_eval_step(model, cfg: Config, num_pnp_points: int = 256,
 
         keys = jax.random.split(key, b)
         solve = jax.vmap(lambda kk, p, u, km: pnp_ransac(
-            kk, p, u, km, num_hypotheses=pnp_hypotheses, inlier_px=2.0))
+            kk, p, u, km, num_hypotheses=pnp_hypotheses, inlier_px=2.0,
+            robust_refine=robust_refine))
         pnp = solve(keys, pw, uv, batch["k"])
 
         pred_r = pnp["r"]

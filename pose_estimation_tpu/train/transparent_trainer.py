@@ -106,7 +106,11 @@ class TransparentTrainer:
                    "mask": lw.weight_mask, "boundary": lw.weight_mask}
         self.train_step = build_transparent_train_step(
             self.model, self.tx, weights)
-        self.eval_step = build_transparent_eval_step(self.model)
+        # cfg.train.refine gates eval-time ICP refinement against the
+        # completed depth (the reference's refine flag gates its
+        # refinement machinery too, dataset.py:101-105)
+        self.eval_step = build_transparent_eval_step(
+            self.model, refine_icp=cfg.train.refine)
         self.log = MetricsLogger(log_dir, "train")
         self.eval_log = MetricsLogger(log_dir, "eval")
         self.ckpt = CheckpointManager(os.path.join(log_dir, "ckpt"))
@@ -215,7 +219,13 @@ class TransparentTrainer:
             cls = np.asarray(batch["obj"]).reshape(-1)[keep]
             dis = np.asarray(out["add_dis"]).reshape(-1)[keep]
             ok = (dis < 0.1 * self._diameters[cls]).astype(np.float32)
-            acc.update(cls, {"add_dis": dis, "add_ok": ok})
+            metrics = {"add_dis": dis, "add_ok": ok}
+            if "add_dis_icp" in out:
+                dis_i = np.asarray(out["add_dis_icp"]).reshape(-1)[keep]
+                metrics["add_dis_icp"] = dis_i
+                metrics["add_ok_icp"] = (
+                    dis_i < 0.1 * self._diameters[cls]).astype(np.float32)
+            acc.update(cls, metrics)
         summary = acc.summary()
         mean_dis = summary["overall"].get("add_dis", float("inf"))
         self.eval_log.log(int(self.state.step),
@@ -243,12 +253,24 @@ class TransparentTrainer:
         return self.state
 
 
-def build_transparent_eval_step(model) -> Callable:
+def build_transparent_eval_step(model, refine_icp: bool = False,
+                                icp_iters: int = 10,
+                                icp_trim: float = 0.3,
+                                icp_points: int = 256) -> Callable:
     """Best-confidence pose extraction + ADD(-S) — the transparent test
-    loop (train.py:305-426) as one compiled program."""
+    loop (train.py:305-426) as one compiled program.
+
+    refine_icp=True additionally runs trimmed ICP (core/solvers/icp.py —
+    the declarative LS-refinement capability the reference prototypes in
+    scripts/train_declarative.py:42-109) of the regressed pose against
+    the COMPLETED depth the model itself predicts (the transparent
+    premise: sensor depth is corrupt on glass, the network's completed
+    depth is the usable geometry). Reports the refined pose's metrics
+    alongside the direct ones so the delta is measured, not assumed."""
     from pose_estimation_tpu.core.geometry.allocentric import (
         allo_to_ego_matrix)
     from pose_estimation_tpu.core.geometry.rotations import quat_to_matrix
+    from pose_estimation_tpu.core.solvers.icp import icp_refine
     from pose_estimation_tpu.metrics.metric import add_metric
 
     @jax.jit
@@ -266,7 +288,38 @@ def build_transparent_eval_step(model) -> Callable:
         r_ego = allo_to_ego_matrix(trans, r_allo)
         dis = add_metric(r_ego, trans, batch["r"], batch["t"],
                          batch["model_points"], batch["sym_mask"])
-        return {"add_dis": dis, "pred_r": r_ego, "pred_t": trans,
-                "pred_normal": n, "pred_depth": d, "pred_mask": m}
+        out = {"add_dis": dis, "pred_r": r_ego, "pred_t": trans,
+               "pred_normal": n, "pred_depth": d, "pred_mask": m}
+        if refine_icp:
+            b, hh, ww, _ = d.shape
+            # backproject the predicted completed depth with the zoomed
+            # intrinsics (transparent_batching.py:77-95 conventions:
+            # meters = depth_n * d_scale; xmap/ymap and intrinsic are in
+            # zoomed-pixel units)
+            z = d[..., 0].astype(jnp.float32) \
+                * batch["d_scale"][:, None, None]
+            fx = batch["intrinsic"][:, 0][:, None, None]
+            fy = batch["intrinsic"][:, 1][:, None, None]
+            cx_ = batch["intrinsic"][:, 2][:, None, None]
+            cy_ = batch["intrinsic"][:, 3][:, None, None]
+            px = (batch["xmap"] - cx_) * z / fx
+            py = (batch["ymap"] - cy_) * z / fy
+            cloud = jnp.stack([px, py, z], -1).reshape(b, hh * ww, 3)
+            # fixed-size destination set: the highest-predicted-mask
+            # pixels (static shapes; no boolean gather)
+            score = m[..., 0].astype(jnp.float32).reshape(b, hh * ww)
+            _, idx = jax.lax.top_k(score, icp_points)
+            dst = jnp.take_along_axis(cloud, idx[..., None], axis=1)
+            r_ref, t_ref, resid = icp_refine(
+                batch["model_points"].astype(jnp.float32), dst,
+                r_ego.astype(jnp.float32), trans.astype(jnp.float32),
+                iters=icp_iters, trim_fraction=icp_trim)
+            out["add_dis_icp"] = add_metric(
+                r_ref, t_ref, batch["r"], batch["t"],
+                batch["model_points"], batch["sym_mask"])
+            out["icp_residual"] = resid
+            out["pred_r_icp"] = r_ref
+            out["pred_t_icp"] = t_ref
+        return out
 
     return eval_step

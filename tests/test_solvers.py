@@ -174,3 +174,35 @@ class TestICP:
         # trimmed fit must still converge near the gt offset with 20%
         # outlier points present in the target cloud
         assert err_trim < 0.01, err_trim
+
+
+class TestRansacSampling:
+    def test_minimal_subsets_are_distinct(self, key):
+        """Gumbel top-k sampling must return duplicate-free subsets that
+        respect the mask (cv2.solvePnPRansac parity: distinct points)."""
+        from pose_estimation_tpu.core.solvers.pnp import _masked_choice
+        import jax
+        mask = np.ones(32, np.float32)
+        mask[16:] = 0.0
+        for i in range(20):
+            ids = np.asarray(_masked_choice(
+                jax.random.fold_in(key, i), 32, 6, jnp.asarray(mask)))
+            assert len(set(ids.tolist())) == 6, ids
+            assert ids.max() < 16, ids  # masked tail never sampled
+
+    def test_robust_refine_with_noise_and_outliers(self, rng, key):
+        """Cauchy-reweighted LM over all points must match or beat the
+        hard-inlier refinement under per-point noise + outliers."""
+        pw, uv, r_gt, t_gt = _make_case(rng, n=256, noise=0.8)
+        bad = rng.choice(256, 50, replace=False)
+        uv_c = uv.copy()
+        uv_c[bad] += rng.randn(50, 2) * 60 + 30
+        hard = pnp_ransac(key, jnp.asarray(pw), jnp.asarray(uv_c),
+                          jnp.asarray(K), inlier_px=2.0)
+        soft = pnp_ransac(key, jnp.asarray(pw), jnp.asarray(uv_c),
+                          jnp.asarray(K), inlier_px=2.0,
+                          robust_refine=True)
+        ang_h = float(geo.angular_distance(hard["r"], jnp.asarray(r_gt)))
+        ang_s = float(geo.angular_distance(soft["r"], jnp.asarray(r_gt)))
+        assert ang_s < 2.0, ang_s
+        assert ang_s <= ang_h * 1.5 + 0.2, (ang_s, ang_h)
