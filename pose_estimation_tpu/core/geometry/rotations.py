@@ -23,8 +23,17 @@ _EPS = 1e-8
 
 
 def quat_normalize(q: jax.Array) -> jax.Array:
-    """Normalize quaternion(s) to unit norm, sign-canonicalized to w >= 0."""
-    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), _EPS)
+    """Normalize quaternion(s) to unit norm, sign-canonicalized to w >= 0.
+
+    The clamp goes INSIDE the sqrt: `maximum(norm(q), eps)` still
+    backprops through norm, whose gradient at q == 0 is 0/0 = NaN, and
+    `where/maximum` propagate NaN from the unselected branch (the same
+    trap fixed in axis_angle_to_matrix). sqrt(max(|q|^2, eps^2)) has a
+    finite gradient everywhere — a regression-head quat underflowing to
+    exactly 0 was one source of the transparent step's intermittent
+    skipped_nonfinite guard hits."""
+    sq = jnp.sum(q * q, axis=-1, keepdims=True)
+    q = q / jnp.sqrt(jnp.maximum(sq, _EPS * _EPS))
     return jnp.where(q[..., :1] < 0, -q, q)
 
 
@@ -135,9 +144,10 @@ def ortho6d_to_matrix(poses: jax.Array) -> jax.Array:
     """
     x_raw = poses[..., 0:3]
     y_raw = poses[..., 3:6]
-    x = x_raw / jnp.maximum(jnp.linalg.norm(x_raw, axis=-1, keepdims=True), _EPS)
+    from pose_estimation_tpu.core.mathsafe import safe_normalize
+    x = safe_normalize(x_raw, eps=_EPS)
     z = jnp.cross(x, y_raw)
-    z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), _EPS)
+    z = safe_normalize(z, eps=_EPS)
     y = jnp.cross(z, x)
     return jnp.stack([x, y, z], axis=-1)  # columns
 

@@ -22,10 +22,15 @@ def l1_map(pred: jax.Array, target: jax.Array) -> jax.Array:
 
 
 def cosine_map(pred: jax.Array, target: jax.Array) -> jax.Array:
-    """1 - cosine similarity along channels (loss_utils.py:8-10)."""
+    """1 - cosine similarity along channels (loss_utils.py:8-10).
+
+    Norms via core.mathsafe.safe_norm: `norm` has a NaN gradient at an
+    exactly-zero prediction vector (common at background pixels), and the
+    clamp on the product does not protect the backward."""
+    from pose_estimation_tpu.core.mathsafe import safe_norm
     dot = jnp.sum(pred * target, axis=-1)
-    np_ = jnp.linalg.norm(pred, axis=-1)
-    nt = jnp.linalg.norm(target, axis=-1)
+    np_ = safe_norm(pred, axis=-1)
+    nt = safe_norm(target, axis=-1)
     return 1.0 - dot / jnp.maximum(np_ * nt, _EPS)
 
 

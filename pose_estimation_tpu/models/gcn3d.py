@@ -48,8 +48,8 @@ class ConvSurface(nn.Module):
             "directions",
             lambda k: jax.random.uniform(k, (self.point_dim, s * o),
                                          minval=-stdv, maxval=stdv))
-        dirs = directions / jnp.maximum(
-            jnp.linalg.norm(directions, axis=0, keepdims=True), 1e-12)
+        from pose_estimation_tpu.core.mathsafe import safe_normalize
+        dirs = safe_normalize(directions, axis=0, eps=1e-12)
         nd = _unit_directions(vertices, neighbor_index)  # [b,n,k,d]
         from pose_estimation_tpu.ops.pallas_gcn import gcn_aggregate
         return gcn_aggregate(nd, dirs, None, neighbor_index,
@@ -75,8 +75,8 @@ class ConvLayer(nn.Module):
         bias = self.param("bias", init, ((s + 1) * o,))
         directions = self.param("directions", init, (self.point_dim, s * o))
 
-        dirs = directions / jnp.maximum(
-            jnp.linalg.norm(directions, axis=0, keepdims=True), 1e-12)
+        from pose_estimation_tpu.core.mathsafe import safe_normalize
+        dirs = safe_normalize(directions, axis=0, eps=1e-12)
         nd = _unit_directions(vertices, neighbor_index)
 
         feat = (feature_map.astype(self.dtype) @ weights.astype(self.dtype)
@@ -150,8 +150,8 @@ class MultiConvLayer(nn.Module):
             weights = self.param(f"weights_{si}", init, (in_ch, (s + 1) * o))
             bias = self.param(f"bias_{si}", init, ((s + 1) * o,))
             directions = self.param(f"directions_{si}", init, (3, s * o))
-            dirs = directions / jnp.maximum(
-                jnp.linalg.norm(directions, axis=0, keepdims=True), 1e-12)
+            from pose_estimation_tpu.core.mathsafe import safe_normalize
+            dirs = safe_normalize(directions, axis=0, eps=1e-12)
             feat = (feature_list[si].astype(self.dtype)
                     @ weights.astype(self.dtype) + bias.astype(self.dtype))
             outs_center.append(feat[..., :o])

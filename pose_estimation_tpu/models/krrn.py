@@ -131,8 +131,9 @@ class KRRN(nn.Module):
         xyz_sel = _select_class(xyz_map[..., mask_outc + region_outc:],
                                 cls, num_cls)
         nml_sel = _select_class(nml_map, cls, num_cls)
-        nml_sel = nml_sel / jnp.maximum(
-            jnp.linalg.norm(nml_sel, axis=-1, keepdims=True), 1e-8)
+        # grad-safe at exactly-zero vectors (core/mathsafe.py)
+        from pose_estimation_tpu.core.mathsafe import safe_normalize
+        nml_sel = safe_normalize(nml_sel)
 
         xyz_emb = _gather_pixels(xyz_sel, choose)
         nml_emb = _gather_pixels(nml_sel, choose)
@@ -158,10 +159,10 @@ class KRRN(nn.Module):
             if self.enable_rot:
                 from pose_estimation_tpu.models.posenet import (
                     rot_mat_y_first, vertical_rot_vectors)
-                gv = green[:, 1:] / jnp.maximum(
-                    jnp.linalg.norm(green[:, 1:], axis=-1, keepdims=True), 1e-6)
-                rv = red[:, 1:] / jnp.maximum(
-                    jnp.linalg.norm(red[:, 1:], axis=-1, keepdims=True), 1e-6)
+                from pose_estimation_tpu.core.mathsafe import (
+                    safe_normalize)
+                gv = safe_normalize(green[:, 1:], eps=1e-6)
+                rv = safe_normalize(red[:, 1:], eps=1e-6)
                 cg = jax.nn.sigmoid(green[:, :1])
                 cr = jax.nn.sigmoid(red[:, :1])
                 new_y, new_x = vertical_rot_vectors(cr, cg, rv, gv)

@@ -93,17 +93,17 @@ def vertical_rot_vectors(c1, c2, v1, v2, eps=1e-8):
     # move each vector away from the other by its share of the angle error
     v1_new = v1 - w2 * dot * v2
     v2_new = v2 - w1 * dot * v1
-    v1_new = v1_new / jnp.maximum(
-        jnp.linalg.norm(v1_new, axis=-1, keepdims=True), eps)
-    v2_new = v2_new / jnp.maximum(
-        jnp.linalg.norm(v2_new, axis=-1, keepdims=True), eps)
+    from pose_estimation_tpu.core.mathsafe import safe_normalize
+    v1_new = safe_normalize(v1_new, eps=eps)
+    v2_new = safe_normalize(v2_new, eps=eps)
     return v1_new, v2_new
 
 
 def rot_mat_y_first(y, x, eps=1e-8):
     """Rotation matrix from y (first) and x axes
     (lib/network/pose/pose_utils.py:45-53)."""
+    from pose_estimation_tpu.core.mathsafe import safe_normalize
     z = jnp.cross(x, y)
-    z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), eps)
+    z = safe_normalize(z, eps=eps)
     x_new = jnp.cross(y, z)
     return jnp.stack([x_new, y, z], axis=-1)

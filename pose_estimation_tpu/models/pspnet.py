@@ -131,8 +131,9 @@ class PSPDecoder(nn.Module):
         d2 = nn.relu(nn.Conv(32, (1, 1), dtype=self.dtype)(f1))
         f2 = jnp.concatenate([n2, d2], -1)                      # 64
         n3 = nn.Conv(3, (1, 1), dtype=jnp.float32)(f2.astype(jnp.float32))
-        n3 = n3 / jnp.maximum(
-            jnp.linalg.norm(n3, axis=-1, keepdims=True), 1e-8)
+        # grad-safe at exactly-zero vectors (core/mathsafe.py)
+        from pose_estimation_tpu.core.mathsafe import safe_normalize
+        n3 = safe_normalize(n3)
         d3 = nn.relu(nn.Conv(1, (1, 1), dtype=jnp.float32)(
             f2.astype(jnp.float32)))
         f3 = jnp.concatenate([f1, f2], -1)                      # 192

@@ -87,8 +87,12 @@ class UNet(nn.Module):
 
         n = Up(64, **d)(nd, x2, train)
         normal = Up(64, **d)(n, x1, train)
-        normal = normal / jnp.maximum(
-            jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-8)
+        # safe_normalize, NOT norm+maximum: relu features are exactly
+        # zero at all-negative pixels and the naive form's gradient is
+        # NaN there — this single line wedged transparent training
+        # (core/mathsafe.py has the full story)
+        from pose_estimation_tpu.core.mathsafe import safe_normalize
+        normal = safe_normalize(normal)
 
         dd = Up(64, **d)(nd, x2, train)
         depth = Up(64, **d)(dd, x1, train)

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy XLA:CPU integration compiles
+
 from pose_estimation_tpu.configs import schema
 from pose_estimation_tpu.core.geometry.rotations import angular_distance
 from pose_estimation_tpu.data.batching import make_batch

@@ -210,3 +210,22 @@ class TestUmeyama:
         assert int(inl.sum()) > 120
         np.testing.assert_allclose(
             float(geo.angular_distance(r, r_gt)), 0.0, atol=1.5)
+
+
+class TestQuatNormalizeGradSafety:
+    def test_zero_quat_has_finite_grad(self):
+        """grad of quat_normalize-dependent losses must be finite at
+        q == 0 exactly (regression heads can underflow to zero; the old
+        maximum(norm, eps) form produced NaN via the unselected branch)."""
+        import jax
+        import jax.numpy as jnp
+        from pose_estimation_tpu.core.geometry.rotations import (
+            quat_to_matrix)
+
+        def loss(q):
+            return jnp.sum(quat_to_matrix(q) ** 2)
+
+        g0 = jax.grad(loss)(jnp.zeros(4))
+        assert np.isfinite(np.asarray(g0)).all(), g0
+        gt = jax.grad(loss)(jnp.array([1e-30, 0.0, 0.0, 0.0]))
+        assert np.isfinite(np.asarray(gt)).all(), gt

@@ -12,6 +12,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy XLA:CPU integration compiles
+
 from pose_estimation_tpu.data.testing import write_fake_bop_tree
 
 pytest.importorskip("cv2")

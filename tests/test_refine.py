@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy XLA:CPU integration compiles
+
 from pose_estimation_tpu.configs import schema
 from pose_estimation_tpu.core.geometry.rotations import axis_angle_to_matrix
 from pose_estimation_tpu.core.solvers.pnp import pnp_implicit, pnp_ransac

@@ -11,6 +11,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy XLA:CPU integration compiles
+
 from pose_estimation_tpu.configs import schema
 from pose_estimation_tpu.data.batching import make_batch
 from pose_estimation_tpu.data.synthetic import SyntheticPoseDataset

@@ -9,6 +9,8 @@ import pickle
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy XLA:CPU integration compiles
+
 
 class TestRegionStats:
     def test_synthetic_stats(self, capsys):

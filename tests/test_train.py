@@ -1,9 +1,12 @@
 """Optimizer / scheduler / checkpoint / guard tests."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 import optax
+
+pytestmark = pytest.mark.slow  # heavy XLA:CPU integration compiles
 
 from pose_estimation_tpu.configs import schema
 from pose_estimation_tpu.train.guards import TrainGuard, global_norm

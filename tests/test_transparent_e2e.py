@@ -11,6 +11,8 @@ backproject the gt depth onto the gt-posed model points.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy XLA:CPU integration compiles
+
 import jax
 import jax.numpy as jnp
 

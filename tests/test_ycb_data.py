@@ -14,6 +14,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy XLA:CPU integration compiles
+
 from pose_estimation_tpu.data.batching import make_batch
 from pose_estimation_tpu.data.testing import write_fake_bop_tree
 from pose_estimation_tpu.data.ycb import YCBVideoDataset
