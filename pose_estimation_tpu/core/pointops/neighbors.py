@@ -83,15 +83,25 @@ def nearest_index(target: jax.Array, source: jax.Array) -> jax.Array:
     return jnp.argmin(d, axis=-1).astype(jnp.int32)
 
 
-def min_dists(target: jax.Array, source: jax.Array) -> jax.Array:
+def min_dists(target: jax.Array, source: jax.Array,
+              eps: float = 1e-8) -> jax.Array:
     """Distance from each target point to its nearest source point [..., n1].
 
     The core of ADD-S (lib/utils/metric.py:27-31) and the symmetric-object
     closest-point loss (lib/network/loss.py:34-36) — here fused so the N^2
     matrix never leaves registers/VMEM under XLA fusion.
+
+    The sqrt is clamped at eps^2 INSIDE (core/mathsafe.py rationale):
+    pairwise_sqdist's dot-product form cancels to exactly 0 (or slightly
+    negative) for coincident points, and sqrt'(0) = inf. When this feeds a
+    chamfer term computed for every sample but `where`-selected only for
+    symmetric ones, the unselected branch's 0 cotangent x inf = NaN poisons
+    the WHOLE batch gradient — the transparent pipeline's r2/r3 plateau
+    (every step skipped_nonfinite) was exactly this. eps=1e-8 m is far
+    below any ADD resolution; values are unchanged beyond 1e-8.
     """
     d = pairwise_sqdist(target, source)
-    return jnp.sqrt(jnp.maximum(jnp.min(d, axis=-1), 0.0))
+    return jnp.sqrt(jnp.maximum(jnp.min(d, axis=-1), eps * eps))
 
 
 def gather_neighbors(features: jax.Array, index: jax.Array) -> jax.Array:

@@ -29,7 +29,11 @@ def add_distance(pred_points: jax.Array, target_points: jax.Array,
     pred_points, target_points: [B, N, 3]; sym_mask [B] (1 = symmetric).
     ADD: mean_i |p_i - t_i|; ADD-S: mean_i min_j |p_i - t_j|.
     """
-    direct = jnp.linalg.norm(pred_points - target_points, axis=-1).mean(-1)
+    # safe_norm: `norm` has an inf/NaN backward at exactly-coincident
+    # points, and BOTH branches are computed for every sample before the
+    # `where` select (core/mathsafe.py rationale)
+    from pose_estimation_tpu.core.mathsafe import safe_norm
+    direct = safe_norm(pred_points - target_points, axis=-1).mean(-1)
     chamfer = min_dists(pred_points, target_points).mean(-1)
     return jnp.where(sym_mask > 0, chamfer, direct)
 

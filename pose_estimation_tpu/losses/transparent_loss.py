@@ -71,7 +71,14 @@ def confidence_pose_loss(pred_quat, pred_t, pred_c, target, model_points,
     pred = _mm(model_points[:, None], jnp.swapaxes(base, -1, -2)) \
         + pred_t[:, :, None, :]
 
-    direct = jnp.linalg.norm(pred - target[:, None], axis=-1).mean(-1)
+    # safe_norm, NOT linalg.norm: the chamfer/direct pair is computed for
+    # EVERY sample and `where`-selected per sym_mask; an exactly-zero
+    # point distance anywhere in the unselected branch turns its zero
+    # cotangent into 0 * inf = NaN and poisons the whole batch gradient
+    # (this single line + min_dists' sqrt(0) wedged the transparent
+    # trainer at skipped_nonfinite=1 — core/mathsafe.py has the story)
+    from pose_estimation_tpu.core.mathsafe import safe_norm
+    direct = safe_norm(pred - target[:, None], axis=-1).mean(-1)
     flat_pred = pred.reshape(b, n * pred.shape[2], 3)
     chamfer = min_dists(flat_pred, target).reshape(b, n, -1).mean(-1)
     dis = jnp.where(sym_mask[:, None] > 0, chamfer, direct)  # [B,N]

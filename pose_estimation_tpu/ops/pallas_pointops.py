@@ -65,7 +65,7 @@ def _min_dists_kernel(t_ref, s_ref, o_ref, *, chunk: int, m_valid: int):
     best = jax.lax.fori_loop(
         0, num_chunks, body,
         jnp.full((t.shape[0], 1), _INF, jnp.float32))
-    o_ref[0, :] = jnp.sqrt(jnp.maximum(best[:, 0], 0.0))
+    o_ref[0, :] = jnp.sqrt(jnp.maximum(best[:, 0], 1e-16))
 
 
 def _round_up(x: int, m: int) -> int:

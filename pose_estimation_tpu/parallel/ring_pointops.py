@@ -47,7 +47,9 @@ def ring_min_dists(mesh: Mesh, axis: str = "data"):
         init = jax.lax.pvary(
             jnp.full((tgt.shape[0],), jnp.inf, tgt.dtype), axis)
         best, _ = jax.lax.fori_loop(0, d, body, (init, src))
-        return jnp.sqrt(jnp.maximum(best, 0.0))
+        # eps^2 clamp inside the sqrt: grad-safe at coincident points
+        # (parity with core.pointops.min_dists; core/mathsafe.py)
+        return jnp.sqrt(jnp.maximum(best, jnp.asarray(1e-16, best.dtype)))
 
     return shard_map(local, mesh=mesh,
                      in_specs=(P(axis), P(axis)),
@@ -92,7 +94,8 @@ def ring_knn(mesh: Mesh, k: int, axis: str = "data"):
                 jax.lax.pvary(jnp.zeros((n_local, k), jnp.int32), axis),
                 pts, my)
         best_d, best_i, _, _ = jax.lax.fori_loop(0, d, body, init)
-        return jnp.sqrt(jnp.maximum(best_d, 0.0)), best_i
+        return jnp.sqrt(jnp.maximum(
+            best_d, jnp.asarray(1e-16, best_d.dtype))), best_i
 
     return shard_map(local, mesh=mesh,
                      in_specs=P(axis),

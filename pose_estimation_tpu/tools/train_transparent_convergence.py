@@ -18,7 +18,7 @@ import time
 import jax
 
 
-def make_cfg(schema, epochs: int = 64):
+def make_cfg(schema, epochs: int = 64, refine: bool = False):
     # fixture-sized TRPESNet: the full 256-crop/1000-point cleargrasp
     # config is unnecessary for 2-object splat renders; geometry and loss
     # paths are identical.
@@ -28,6 +28,7 @@ def make_cfg(schema, epochs: int = 64):
            "module.num_cls": 4, "data.num_points": 256,
            "data.input_size": 96, "train.batch_size": 16,
            "train.amp": True, "train.ckpt_every": 0,
+           "train.refine": refine,  # eval-time trimmed ICP vs completed depth
            "train.lr.lr": 2e-4, "train.lr.warmup_iters": 100,
            "train.lr.anneal_point": 0.6,
            "train.optimizer": schema.OptimizerConfig(type="Adam")})
@@ -39,6 +40,9 @@ def main(argv=None):
     p.add_argument("--frames_per_object", type=int, default=256)
     p.add_argument("--out", default="RESULTS_transparent.json")
     p.add_argument("--log_root", default="/tmp/convergence_transparent")
+    p.add_argument("--refine", action="store_true",
+                   help="eval-time trimmed-ICP refinement against the "
+                        "predicted completed depth (cfg.train.refine)")
     args = p.parse_args(argv)
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -50,7 +54,7 @@ def main(argv=None):
         TransparentTrainer)
     import numpy as np
 
-    cfg = make_cfg(schema, epochs=args.epochs)
+    cfg = make_cfg(schema, epochs=args.epochs, refine=args.refine)
     train_ds = SyntheticTransparentDataset(
         num_objects=4, frames_per_object=args.frames_per_object,
         im_h=240, im_w=320, num_regions=16, pose_seed=0, sym_objects=(3,),
@@ -97,9 +101,17 @@ def main(argv=None):
             print(f"[trpes] epoch {epoch}: {json.dumps(s['overall'])}",
                   flush=True)
     train_sec = time.time() - t0
+    # final checkpoint: lets eval-side variants rerun without retraining
+    # (best-ckpt tracking may already have saved this exact step)
+    try:
+        tr.ckpt.save(int(tr.state.step), tr.state, metrics={"final": 1.0},
+                     force=True)
+    except Exception as e:
+        print(f"[trpes] final ckpt save skipped: {type(e).__name__}")
     summary = tr.test_epoch(999)
 
     results = {
+        "refine_icp": args.refine,
         "fixture": "SyntheticTransparentDataset(4 objects, 1 symmetric, "
                    "held-out pose_seed=7 split)",
         "protocol": "batched TRPESNet eval: confidence-argmax point pose, "

@@ -269,7 +269,8 @@ def build_transparent_eval_step(model, refine_icp: bool = False,
     alongside the direct ones so the delta is measured, not assumed."""
     from pose_estimation_tpu.core.geometry.allocentric import (
         allo_to_ego_matrix)
-    from pose_estimation_tpu.core.geometry.rotations import quat_to_matrix
+    from pose_estimation_tpu.core.geometry.rotations import (
+        angular_distance, quat_to_matrix)
     from pose_estimation_tpu.core.solvers.icp import icp_refine
     from pose_estimation_tpu.metrics.metric import add_metric
 
@@ -289,7 +290,11 @@ def build_transparent_eval_step(model, refine_icp: bool = False,
         dis = add_metric(r_ego, trans, batch["r"], batch["t"],
                          batch["model_points"], batch["sym_mask"])
         out = {"add_dis": dis, "pred_r": r_ego, "pred_t": trans,
-               "pred_normal": n, "pred_depth": d, "pred_mask": m}
+               "pred_normal": n, "pred_depth": d, "pred_mask": m,
+               # error decomposition: is the miss rotation or translation?
+               "rot_deg": angular_distance(r_ego, batch["r"]),
+               "trans_m": jnp.linalg.norm(
+                   trans - batch["t"], axis=-1)}
         if refine_icp:
             b, hh, ww, _ = d.shape
             # backproject the predicted completed depth with the zoomed

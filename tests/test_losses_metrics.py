@@ -123,3 +123,51 @@ class TestMetrics:
         assert s["per_object"]["a"]["count"] == 3
         np.testing.assert_allclose(s["per_object"]["a"]["add_ok"], 1.0)
         np.testing.assert_allclose(s["overall"]["add_ok"], 0.75)
+
+
+class TestCoincidentPointGradSafety:
+    """Regression: chamfer/direct distance gradients must stay finite at
+    exactly-coincident points. Both branches of the sym `where` are
+    computed for every sample; sqrt'(0) = inf in the UNSELECTED branch
+    times its zero cotangent = NaN, which poisoned the whole batch
+    gradient and wedged the transparent trainer at skipped_nonfinite=1
+    (core/mathsafe.py; core/pointops min_dists eps^2 clamp)."""
+
+    def test_add_distance_grad_finite_at_zero_error(self):
+        import jax
+        pts = jnp.asarray(np.random.RandomState(0).randn(2, 16, 3),
+                          jnp.float32)
+
+        def loss(p):
+            # pred == target exactly, for both a sym and a non-sym sample
+            return jnp.sum(add_distance(p, pts, jnp.array([0.0, 1.0])))
+
+        g = jax.grad(loss)(pts)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_confidence_pose_loss_grad_finite_at_perfect_pose(self):
+        import jax
+        from pose_estimation_tpu.losses.transparent_loss import (
+            confidence_pose_loss)
+        rng = np.random.RandomState(1)
+        b, n, m = 2, 4, 32
+        model_points = jnp.asarray(rng.randn(b, m, 3) * 0.05, jnp.float32)
+        gt_r = jnp.broadcast_to(jnp.eye(3), (b, 3, 3))
+        t0 = jnp.asarray([[0.0, 0.0, 0.6]] * b, jnp.float32)
+        target = model_points + t0[:, None]
+        axis = jnp.ones((b, 3), jnp.float32)
+
+        def loss(quat, trans):
+            la, _, lr = confidence_pose_loss(
+                quat, trans, jnp.full((b, n, 1), 0.5), target,
+                model_points, jnp.array([0.0, 1.0]), axis, gt_r,
+                allocentric=False)
+            return la + lr
+
+        # identity quaternion + exact gt translation at every point
+        # hypothesis -> pred coincides with target exactly
+        quat = jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (b, n, 4))
+        trans = jnp.broadcast_to(t0[:, None], (b, n, 3))
+        gq, gt_ = jax.grad(loss, argnums=(0, 1))(quat, trans)
+        assert np.isfinite(np.asarray(gq)).all()
+        assert np.isfinite(np.asarray(gt_)).all()
