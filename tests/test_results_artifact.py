@@ -43,25 +43,21 @@ class TestCommittedAccuracy:
                     reason="RESULTS_transparent.json not yet produced "
                            "(run tools/train_transparent_convergence.py)")
 class TestCommittedTransparentAccuracy:
-    """Transparent analog of the eval-log gate (eval_log.txt:534-539).
+    """Transparent analog of the eval-log gate: per-class ADD(-S)@0.1d
+    success rates from a converged run, matching the reference's
+    committed table (eval_log.txt:534-539 — overall 0.9173@0.1d, mean
+    0.0064 m). Two rounds of sub-threshold plateaus turned out to be the
+    coincident-point NaN-gradient wedge (core/mathsafe.py; every step
+    skipped_nonfinite) — with grad-safe chamfer distances the same
+    trainer converges to 1.0@0.1d / 0.0035 m on the fixture."""
 
-    The committed artifact is LEARNING evidence, not parity evidence: the
-    reference's 0.9173@0.1d is a 243-epoch run on real Cleargrasp objects
-    with compact shapes; direct per-point quat/trans regression on the
-    random-blob splat fixture converges much more slowly (measured: mean
-    ADD(-S) 0.85 untrained -> 0.089 after 12k steps, still above the
-    0.1*diameter ~ 0.017 m accept threshold). The KRRN coordinate+PnP
-    route on the SAME fixture reaches 0.93@0.1d (RESULTS_synthetic.json)
-    — the decoupled formulation is the accuracy path; these numbers gate
-    that the transparent trainer genuinely learns end-to-end."""
-
-    def test_trained_distance_improved(self):
+    def test_per_class_success_table(self):
         with open(RESULTS_T) as f:
             res = json.load(f)
-        # untrained mean ADD(-S) on this fixture is ~0.85 m (random pose);
-        # the trained model must be far below it and below the object
-        # scale (~0.17 m diameter)
-        assert res["overall"]["add_dis"] < 0.12, res["overall"]
+        assert res["overall"]["add_ok"] >= 0.90, res["overall"]
+        assert res["overall"]["add_dis"] < 0.02, res["overall"]
+        for name, obj in res["per_object"].items():
+            assert obj["add_ok"] >= 0.75, (name, obj)
         assert res["steps"] > 5000, res
 
 
