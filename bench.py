@@ -9,8 +9,14 @@ the reference runs at ~11.6 fps bs=1 with CPU OpenCV hops
 Prints ONE JSON line to stdout: {"metric", "value", "unit",
 "vs_baseline"}. Progress goes to stderr so a watchdog sees liveness
 during the (potentially minutes-long) cold compile through the TPU
-relay; repeat runs hit the persistent compile cache and start in
-seconds.
+relay.
+
+Cold-start budget (VERDICT r2 #1): repeat runs hit three caches —
+compiled programs (/root/.jax_cache, XLA persistent cache), the example
+batch and the initialized params (/root/.bench_cache, value-irrelevant
+to a throughput bench; invalidated by shape mismatch with fallback to
+recompute) — so a warm process prints its JSON line well inside a
+5-minute driver budget.
 
 Env knobs:
   BENCH_BS     batch size (default 32 — the measured-best operating point)
@@ -61,17 +67,63 @@ def main():
     key = jax.random.PRNGKey(0)
 
     log(f"devices={jax.devices()} bs={batch_size} iters={iters}")
-    ds = SyntheticPoseDataset(num_objects=4, frames_per_object=8,
-                              num_regions=cfg.data.num_regions)
-    idx = [i % len(ds) for i in range(batch_size)]
-    batch = make_batch(ds, idx, key, cfg.data.input_size,
-                       cfg.data.num_points)
+
+    # Host-side startup caches (driver-budget insurance, VERDICT r2 #1):
+    # the synthetic-batch splat render and the params-init program are
+    # the two host/compile costs that survive a warm XLA cache. Both are
+    # value-irrelevant to a throughput bench, so cache them on disk and
+    # invalidate by shape mismatch (np.load is milliseconds; H2D of
+    # ~80 MB through the relay is ~2 s).
+    cache_dir = "/root/.bench_cache"
+    os.makedirs(cache_dir, exist_ok=True)
+
+    bpath = os.path.join(cache_dir, f"batch_bs{batch_size}.npz")
+    batch = None
+    if os.path.exists(bpath):
+        try:
+            with np.load(bpath) as z:
+                batch = {k: jnp.asarray(z[k]) for k in z.files}
+            if (batch["img"].shape[1] != cfg.data.input_size
+                    or batch["choose"].shape[1] != cfg.data.num_points):
+                log("batch cache stale shapes; rebuilding")
+                batch = None
+            else:
+                log("batch loaded from cache")
+        except Exception as e:
+            log(f"batch cache unreadable ({type(e).__name__}); rebuilding")
+            batch = None
+    if batch is None:
+        ds = SyntheticPoseDataset(num_objects=4, frames_per_object=8,
+                                  num_regions=cfg.data.num_regions)
+        idx = [i % len(ds) for i in range(batch_size)]
+        batch = make_batch(ds, idx, key, cfg.data.input_size,
+                           cfg.data.num_points)
+        np.savez(bpath, **{k: np.asarray(v) for k, v in batch.items()})
     log("batch on device; initializing params")
 
-    variables = model.init({"params": key}, batch["img"], batch["cloud"],
-                           batch["choose"], batch["cls"], train=False)
-    params = variables["params"]
-    log("params initialized; compiling eval programs")
+    ppath = os.path.join(cache_dir, "params.npz")
+    params = None
+    if os.path.exists(ppath):
+        try:
+            from pose_estimation_tpu.train.checkpoint import (
+                load_params_npz)
+            params = load_params_npz(ppath)
+            log("params loaded from cache")
+        except Exception as e:
+            log(f"params cache unreadable ({type(e).__name__}); re-init")
+    params_from_cache = params is not None
+
+    def fresh_init():
+        variables = model.init({"params": key}, batch["img"],
+                               batch["cloud"], batch["choose"],
+                               batch["cls"], train=False)
+        from pose_estimation_tpu.train.checkpoint import save_params_npz
+        save_params_npz(ppath, variables["params"])
+        return variables["params"]
+
+    if params is None:
+        params = fresh_init()
+    log("params ready; compiling eval programs")
 
     # Two compiled programs, NOT one: fusing the bf16 conv model and the
     # while-loop-heavy PnP solver into a single XLA program degrades the
@@ -106,8 +158,15 @@ def main():
         xyz_emb, pred_t = infer_model(params, batch)
         return infer_pose(xyz_emb, pred_t, batch, key)
 
-    # compile
-    r, t, dis = infer(params, batch, key)
+    # compile (stale params cache => shape error at trace time: re-init)
+    try:
+        r, t, dis = infer(params, batch, key)
+    except Exception:
+        if not params_from_cache:
+            raise
+        log("cached params stale (model changed); re-initializing")
+        params = fresh_init()
+        r, t, dis = infer(params, batch, key)
     jax.block_until_ready((r, t, dis))
     log("compiled; building distinct timed batches")
 

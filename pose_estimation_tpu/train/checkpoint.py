@@ -72,3 +72,42 @@ class CheckpointManager:
             flax.core, "unfreeze") else params_template
         out = merge(plain, src)
         return out, merged
+
+
+def save_params_npz(path: str, params: Any) -> None:
+    """Flatten a params pytree into one .npz ('/'-joined key paths).
+
+    Lightweight single-file alternative to orbax for caches that only
+    need param VALUES with no optimizer state (e.g. bench.py's startup
+    cache); `load_params_npz` inverts it."""
+    import numpy as np
+
+    flat = {}
+
+    def walk(tree, prefix):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(v, f"{prefix}/{k}" if prefix else str(k))
+        else:
+            flat[prefix] = np.asarray(tree)
+
+    walk(params, "")
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
+
+
+def load_params_npz(path: str) -> Any:
+    """Inverse of save_params_npz: nested dict of jnp arrays."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    out: dict = {}
+    with np.load(path) as z:
+        for key in z.files:
+            node = out
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(z[key])
+    return out
