@@ -124,6 +124,10 @@ class ModuleConfig:
     # absolute coords at eval as offset + argmax-region center. False =
     # round-1 behavior (absolute xyz head, raw-xyz eval).
     xyz_offset_decode: bool = False
+    # transparent pipeline model family: 'trpes' (UNet generation,
+    # TRPES.py:206-283) | 'posenet' (PSPNet generation, network.py:296-367
+    # — the generation behind the reference's committed eval log)
+    transparent_model: str = "trpes"
     region_soft_decode: bool = True  # eval decodes offsets against the
     # softmax-expected region center (lib/network/loss_utils.py:19-29
     # get_xyz convention) instead of the argmax center

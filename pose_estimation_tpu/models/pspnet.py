@@ -220,6 +220,7 @@ class TransparentPoseNet(nn.Module):
     """
 
     num_obj: int = 5
+    num_points: int = 256  # points sampled per frame (network.py num_points)
     use_transformer: bool = False
     norm: str = "gn"
     dtype: Any = jnp.float32

@@ -33,10 +33,68 @@ DEFAULT_WEIGHTS = {
 }
 
 
+def apply_transparent_model(model, params, batch, rng=None,
+                            train: bool = False):
+    """Model-family dispatch: run either transparent generation and
+    normalize its output to the loss's pred-dict schema.
+
+    - TRPESNet (UNet gen, TRPES.py:206-283): tuple output, draws its own
+      `choose` from an RNG stream.
+    - TransparentPoseNet (PSPNet gen, network.py:296-367 — the
+      generation behind the reference's committed eval log): dict output
+      incl. boundary, takes explicit `choose` pixel indices (random in
+      train, strided in eval — network.py:339-342 semantics)."""
+    from pose_estimation_tpu.models.pspnet import TransparentPoseNet
+
+    if isinstance(model, TransparentPoseNet):
+        b, h, w, _ = batch["img"].shape
+        n = model.num_points
+        if train and rng is not None:
+            choose = jax.random.randint(rng, (b, n), 0, h * w)
+        else:
+            stride = max((h * w) // n, 1)
+            choose = jnp.broadcast_to(
+                (jnp.arange(n) * stride % (h * w))[None], (b, n))
+        rngs = ({"dropout": jax.random.fold_in(rng, 1)}
+                if (train and rng is not None) else {})
+        return model.apply({"params": params}, batch["img"],
+                           batch["intrinsic"], batch["xmap"],
+                           batch["ymap"], batch["d_scale"], batch["obj"],
+                           choose, train=train, rngs=rngs)
+    kw = {}
+    if train and rng is not None:
+        kw["rngs"] = {"choose": rng,
+                      "dropout": jax.random.fold_in(rng, 1)}
+    rx, tx_, cx, n_, d_, m_ = model.apply(
+        {"params": params}, batch["img"], batch["intrinsic"],
+        batch["xmap"], batch["ymap"], batch["d_scale"], batch["obj"],
+        train=train, **kw)
+    return {"quat": rx, "trans": tx_, "conf": cx,
+            "normal": n_, "depth": d_, "mask": m_}
+
+
+def init_transparent_variables(model, rngs, batch):
+    """Family-aware `model.init`: TransparentPoseNet needs explicit
+    `choose` pixel indices; TRPESNet draws its own."""
+    from pose_estimation_tpu.models.pspnet import TransparentPoseNet
+
+    args = (batch["img"], batch["intrinsic"], batch["xmap"], batch["ymap"],
+            batch["d_scale"], batch["obj"])
+    if isinstance(model, TransparentPoseNet):
+        b, h, w, _ = batch["img"].shape
+        n = model.num_points
+        stride = max((h * w) // n, 1)
+        choose = jnp.broadcast_to(
+            (jnp.arange(n) * stride % (h * w))[None], (b, n))
+        return model.init(rngs, *args, choose, train=False)
+    return model.init(rngs, *args, train=False)
+
+
 def build_transparent_train_step(model, tx, weights=None) -> Callable:
-    """train_step(state, batch) -> (state, metrics) for TRPESNet-style
-    models. batch: img, intrinsic, xmap, ymap, d_scale, obj + gt fields
-    (target/model_points/sym_mask/axis/r/normal/depth/mask)."""
+    """train_step(state, batch) -> (state, metrics) for either
+    transparent model family. batch: img, intrinsic, xmap, ymap, d_scale,
+    obj + gt fields (target/model_points/sym_mask/axis/r/normal/depth/
+    mask/boundary)."""
     weights = weights or DEFAULT_WEIGHTS
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -45,14 +103,8 @@ def build_transparent_train_step(model, tx, weights=None) -> Callable:
         step_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
-            rx, tx_, cx, n, d, m = model.apply(
-                {"params": params}, batch["img"], batch["intrinsic"],
-                batch["xmap"], batch["ymap"], batch["d_scale"],
-                batch["obj"], train=True,
-                rngs={"choose": step_rng,
-                      "dropout": jax.random.fold_in(step_rng, 1)})
-            pred = {"quat": rx, "trans": tx_, "conf": cx,
-                    "normal": n, "depth": d, "mask": m}
+            pred = apply_transparent_model(model, params, batch,
+                                           rng=step_rng, train=True)
             losses = transparent_loss(pred, batch, weights)
             return losses["all_loss"], losses
 
@@ -94,9 +146,20 @@ class TransparentTrainer:
         self.mesh = make_mesh(cfg.mesh.data, cfg.mesh.model, cfg.mesh.dcn)
         self.shard_count = jax.process_count()
         self.shard_index = jax.process_index()
-        self.model = model or TRPESNet(
-            num_points=cfg.data.num_points, num_obj=cfg.module.num_cls,
-            dtype=jnp.bfloat16 if cfg.train.amp else jnp.float32)
+        if model is None:
+            dtype = jnp.bfloat16 if cfg.train.amp else jnp.float32
+            if cfg.module.transparent_model == "posenet":
+                # PSPNet-generation PoseNet (network.py:296-367)
+                from pose_estimation_tpu.models.pspnet import (
+                    TransparentPoseNet)
+                model = TransparentPoseNet(
+                    num_points=cfg.data.num_points,
+                    num_obj=cfg.module.num_cls, dtype=dtype)
+            else:
+                model = TRPESNet(
+                    num_points=cfg.data.num_points,
+                    num_obj=cfg.module.num_cls, dtype=dtype)
+        self.model = model
         steps_per_epoch = max(1, len(dataset) // cfg.train.batch_size)
         self.tx = make_optimizer(
             cfg, total_steps=steps_per_epoch * cfg.train.num_epoch)
@@ -137,10 +200,9 @@ class TransparentTrainer:
         key = key if key is not None else jax.random.PRNGKey(cfg.seed)
         k_init, k_state = jax.random.split(key)
         batch = self._batch([0], seed=0)
-        variables = self.model.init(
-            {"params": k_init, "choose": k_init, "dropout": k_init},
-            batch["img"], batch["intrinsic"], batch["xmap"], batch["ymap"],
-            batch["d_scale"], batch["obj"], train=False)
+        variables = init_transparent_variables(
+            self.model,
+            {"params": k_init, "choose": k_init, "dropout": k_init}, batch)
         self.state = TrainState.create(variables["params"], self.tx, k_state)
         source = (CheckpointManager(self.resume) if self.resume
                   else self.ckpt)
@@ -276,10 +338,10 @@ def build_transparent_eval_step(model, refine_icp: bool = False,
 
     @jax.jit
     def eval_step(state, batch):
-        rx, tx_, cx, n, d, m = model.apply(
-            {"params": state.params}, batch["img"], batch["intrinsic"],
-            batch["xmap"], batch["ymap"], batch["d_scale"], batch["obj"],
-            train=False)
+        pred = apply_transparent_model(model, state.params, batch,
+                                       train=False)
+        rx, tx_, cx = pred["quat"], pred["trans"], pred["conf"]
+        n, d, m = pred["normal"], pred["depth"], pred["mask"]
         best = jnp.argmax(cx[..., 0], axis=1)                   # [B]
         take = lambda x: jnp.take_along_axis(
             x, best[:, None, None], axis=1)[:, 0]

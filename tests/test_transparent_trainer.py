@@ -91,6 +91,40 @@ def test_transparent_steps_sharded_over_mesh(rng, key):
     assert np.isfinite(np.asarray(out["add_dis"])).all()
 
 
+def test_transparent_posenet_family_train_and_eval_step(rng, key):
+    """The PSPNet-generation PoseNet (network.py:296-367) must drive the
+    SAME train/eval step builders as TRPESNet via the model-family
+    dispatch (cfg.module.transparent_model='posenet'): explicit strided
+    `choose` at eval, random pixels in train, boundary term active."""
+    from pose_estimation_tpu.models.pspnet import TransparentPoseNet
+    from pose_estimation_tpu.train.transparent_trainer import (
+        init_transparent_variables)
+
+    h = 48  # stride-8 backbone -> 6x6 features (PSP pool sizes need >=6)
+    model = TransparentPoseNet(num_obj=3, num_points=32)
+    batch = _tiny_batch(rng, h=h)
+    batch["boundary"] = jnp.asarray(
+        (rng.rand(2, h, h, 1) > 0.9).astype(np.float32))
+    variables = init_transparent_variables(
+        model, {"params": key, "choose": key, "dropout": key}, batch)
+    tx = optax.adam(1e-4)
+    state = TrainState.create(variables["params"], tx, key)
+
+    train_step = build_transparent_train_step(model, tx)
+    state, losses = train_step(state, batch)
+    for k in ("all_loss", "loss_add", "loss_r", "loss_n", "loss_d",
+              "loss_m", "loss_b"):
+        assert np.isfinite(float(losses[k])), k
+    assert float(losses["loss_b"]) > 0.0  # boundary head participates
+    assert int(state.step) == 1
+
+    eval_step = build_transparent_eval_step(model)
+    out = eval_step(state, batch)
+    assert out["add_dis"].shape == (2,)
+    det = np.linalg.det(np.asarray(out["pred_r"]))
+    np.testing.assert_allclose(det, 1.0, atol=1e-3)
+
+
 def test_transparent_eval_icp_refinement(rng, key):
     """refine_icp=True must produce finite refined metrics with the
     zoomed-intrinsics backprojection (transparent_batching conventions)."""
