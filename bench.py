@@ -36,8 +36,20 @@ import numpy as np
 # Persistent compile cache: the eval program (model + vmapped PnP-RANSAC)
 # is a large graph; caching makes repeat bench runs start in seconds.
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+# Cache even sub-second programs: on this 1-vCPU host every tiny XLA
+# compile through the axon relay costs ~0.4 s, and a cold process emits
+# dozens of them (threefry, convert_element_type, ...).
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 BASELINE_FPS = 11.6  # reference eval throughput (BASELINE.md)
+
+
+class _nullctx:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
 
 
 def log(msg):
@@ -77,6 +89,17 @@ def main():
     cache_dir = "/root/.bench_cache"
     os.makedirs(cache_dir, exist_ok=True)
 
+    # Cache-MISS insurance: build the batch and init the params on the
+    # host CPU backend. Through the axon relay every TPU compile is a
+    # remote round-trip (measured: 218 s for the preprocessing programs,
+    # 478 s for the init program on a cold host) while the same programs
+    # compile locally on XLA:CPU in seconds — and both stages are
+    # value-only work whose output then ships to the TPU once.
+    try:
+        cpu0 = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu0 = None  # no CPU backend registered; fall through to default
+
     bpath = os.path.join(cache_dir, f"batch_bs{batch_size}.npz")
     batch = None
     if os.path.exists(bpath):
@@ -93,12 +116,16 @@ def main():
             log(f"batch cache unreadable ({type(e).__name__}); rebuilding")
             batch = None
     if batch is None:
+        log("batch cache miss; building on CPU backend")
         ds = SyntheticPoseDataset(num_objects=4, frames_per_object=8,
                                   num_regions=cfg.data.num_regions)
         idx = [i % len(ds) for i in range(batch_size)]
-        batch = make_batch(ds, idx, key, cfg.data.input_size,
-                           cfg.data.num_points)
-        np.savez(bpath, **{k: np.asarray(v) for k, v in batch.items()})
+        with jax.default_device(cpu0) if cpu0 is not None else _nullctx():
+            batch = make_batch(ds, idx, key, cfg.data.input_size,
+                               cfg.data.num_points)
+        batch = {k: np.asarray(v) for k, v in batch.items()}
+        np.savez(bpath, **batch)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
     log("batch on device; initializing params")
 
     ppath = os.path.join(cache_dir, "params.npz")
@@ -114,12 +141,20 @@ def main():
     params_from_cache = params is not None
 
     def fresh_init():
-        variables = model.init({"params": key}, batch["img"],
-                               batch["cloud"], batch["choose"],
-                               batch["cls"], train=False)
+        log("params cache miss; initializing on CPU backend")
+        with jax.default_device(cpu0) if cpu0 is not None else _nullctx():
+            variables = jax.jit(model.init, static_argnames="train")(
+                {"params": key},
+                jax.tree.map(lambda x: jnp.asarray(np.asarray(x)),
+                             batch["img"]),
+                jnp.asarray(np.asarray(batch["cloud"])),
+                jnp.asarray(np.asarray(batch["choose"])),
+                jnp.asarray(np.asarray(batch["cls"])), train=False)
         from pose_estimation_tpu.train.checkpoint import save_params_npz
-        save_params_npz(ppath, variables["params"])
-        return variables["params"]
+        params_host = jax.tree.map(np.asarray, variables["params"])
+        save_params_npz(ppath, params_host)
+        # ship to the default (TPU) backend in one transfer
+        return jax.tree.map(jnp.asarray, params_host)
 
     if params is None:
         params = fresh_init()
@@ -170,29 +205,53 @@ def main():
     jax.block_until_ready((r, t, dis))
     log("compiled; building distinct timed batches")
 
-    # timed — each iteration a DISTINCT batch (the axon relay dedupes
-    # byte-identical dispatches, so timing identical args flatters fps;
-    # VERDICT r1 weak #2). Image perturbation changes every downstream
-    # tensor; device-resident so no H2D in the timed loop.
+    # timed — each iteration a DISTINCT batch, distinct ACROSS RUNS too:
+    # the axon relay dedupes byte-identical (program, args) dispatches
+    # and remembers them between processes, so a deterministic
+    # perturbation schedule re-measures the relay's result cache
+    # (observed: 23840 "fps", 0.013 s for 10 iters, on a re-run with
+    # identical args). A wall-clock nonce makes every dispatch of every
+    # run unique; it changes values only, never shapes/programs.
+    nonce = jnp.float32(1e-6 * (time.time_ns() % 997 + 1))
     batches = []
     for i in range(iters):
         bi = dict(batch)
-        bi["img"] = batch["img"] + jnp.float32(1e-4) * (i + 1)
+        bi["img"] = batch["img"] + nonce * (i + 1)
         batches.append(bi)
     jax.block_until_ready([bi["img"] for bi in batches])
-    # one warm pass on a distinct batch so the timed loop sees no
-    # first-dispatch overhead
-    jax.block_until_ready(infer(params, batches[0], key))
+    # Per-iteration PRNG keys, derived OUTSIDE the timed loop: fold_in
+    # dispatches (and on a cold host, COMPILES — ~0.4 s apiece through
+    # the relay) three small programs; inside a ~0.6 s timed region that
+    # alone misreported 520 fps as 133 (round-2 BENCH artifact bug).
+    iter_keys = [jax.random.fold_in(key, i + time.time_ns() % 100003)
+                 for i in range(iters)]
+    jax.block_until_ready(iter_keys)
+    # Warm passes on distinct batches so the timed loop sees no
+    # first-dispatch / executable-load overhead. The warmup ends with a
+    # VALUE FETCH: block_until_ready through the axon relay client can
+    # return optimistically (measured 0.1 ms "block" followed by a
+    # 7.3 s fetch on the same array), so only a host-side value forces
+    # completion. The timed loop below therefore also ends with a fetch
+    # of a scalar that data-depends on every iteration's output.
+    w0 = infer(params, batches[0], iter_keys[0])
+    w1 = infer(params, batches[1 % iters], iter_keys[1 % iters])
+    warm_acc = (w0[2] + w1[2]).sum()  # also compiles the reduction chain
+    float(np.asarray(warm_acc))
     log("timing")
 
     t0 = time.perf_counter()
-    outs = []
+    dis_list = []
     for i in range(iters):
-        outs.append(infer(params, batches[i], jax.random.fold_in(key, i)))
-    jax.block_until_ready(outs)
+        r, t, dis = infer(params, batches[i], iter_keys[i])
+        dis_list.append(dis)
+    acc = dis_list[0]
+    for d in dis_list[1:]:
+        acc = acc + d
+    checksum = float(np.asarray(acc.sum()))  # forces the full chain
     dt = time.perf_counter() - t0
     fps = batch_size * iters / dt
-    log(f"done: {fps:.1f} fps over {iters} iters ({dt:.3f}s)")
+    log(f"done: {fps:.1f} fps over {iters} iters ({dt:.3f}s), "
+        f"mean ADD {checksum / (batch_size * iters):.4f} m")
 
     print(json.dumps({
         "metric": "krrn_e2e_inference_fps_per_chip",

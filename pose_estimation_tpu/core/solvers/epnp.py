@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pose_estimation_tpu.core.geometry.umeyama import kabsch
 from pose_estimation_tpu.core.geometry.intrinsics import project_points
@@ -31,8 +32,11 @@ from pose_estimation_tpu.core.precision import einsum as _einsum, matmul as _mm
 
 _EPS = 1e-9
 
-# Index pairs of the 6 distances among 4 control points.
-_PAIRS = jnp.array([(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)])
+# Index pairs of the 6 distances among 4 control points. numpy, not jnp:
+# a module-level device constant gets re-fetched D2H during every jit
+# lowering that captures it — through the axon relay that fetch queues
+# behind device work (measured 0.8 s inside infer_pose's lowering).
+_PAIRS = np.array([(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)])
 
 
 def _control_points(pw: jax.Array, w: jax.Array) -> jax.Array:

@@ -33,21 +33,29 @@ from pose_estimation_tpu.core.precision import matmul as _mm
 _EPS = 1e-9
 
 
-def _masked_choice(key: jax.Array, n: int, num: int,
-                   mask: jax.Array) -> jax.Array:
-    """Sample `num` DISTINCT indices ~ uniform over mask==1.
+def _minimal_subsets(key: jax.Array, n: int, num: int, num_subsets: int,
+                     mask: jax.Array) -> jax.Array:
+    """[num_subsets, num] indices, each subset DISTINCT points ~ mask==1.
 
-    Gumbel top-k: adding iid Gumbel noise to equal logits and taking the
-    top `num` is an exact uniform sample WITHOUT replacement, in static
-    shapes (one top_k, no rejection loop). Duplicate points in a minimal
-    EPnP subset make the control-point system rank-deficient, wasting the
-    hypothesis — cv2.solvePnPRansac samples distinct points (the parity
-    target, tools/trainer.py:423-427); with replacement at n=256/num=6
-    ~5.7% of hypotheses contained a duplicate."""
-    g = jax.random.gumbel(key, (n,), dtype=jnp.float32)
-    scores = jnp.where(mask > 0, g, -jnp.inf)
-    _, ids = jax.lax.top_k(scores, num)
-    return ids
+    Duplicate points in a minimal EPnP subset make the control-point
+    system rank-deficient, wasting the hypothesis — cv2.solvePnPRansac
+    samples distinct points (the parity target, tools/trainer.py:423-427);
+    with replacement at n=256/num=6 ~5.7% of hypotheses contained a
+    duplicate. One shared random permutation of the valid points (random
+    keys, invalid sunk to the end, single argsort) and subset h = the
+    window [h*num, h*num+num) modulo n_valid: consecutive integers mod m
+    are distinct whenever num <= m, so every subset is duplicate-free,
+    and while n_valid >= num*num_subsets the subsets are DISJOINT —
+    stratified coverage an independent per-hypothesis draw can't give.
+    Replaces a per-hypothesis Gumbel top-k whose H sorts of n keys made
+    the sampler ~30x the arithmetic of the EPnP solves it fed (measured
+    62 ms -> see pnp_ransac caller — the eval program's hot stage)."""
+    g = jax.random.uniform(key, (n,), dtype=jnp.float32)
+    perm = jnp.argsort(jnp.where(mask > 0, g, jnp.inf))  # valid first
+    n_valid = jnp.maximum((mask > 0).sum(), num)
+    pos = (jnp.arange(num_subsets)[:, None] * num
+           + jnp.arange(num)[None, :]) % n_valid
+    return jnp.take(perm, pos, axis=0)
 
 
 @partial(jax.jit, static_argnames=("num_hypotheses", "sample_size",
@@ -70,20 +78,19 @@ def pnp_ransac(key: jax.Array, pw: jax.Array, uv: jax.Array, k: jax.Array,
         mask = jnp.ones((n,), pw.dtype)
     mask = mask.astype(pw.dtype)
 
-    keys = jax.random.split(key, num_hypotheses)
+    subset_ids = _minimal_subsets(key, n, sample_size, num_hypotheses, mask)
 
-    def hypothesis(hk):
+    def hypothesis(ids):
         # Gather the minimal subset into a dense (sample_size, ...) problem:
         # running EPnP on the full n-point arrays with a 6-hot weight vector
         # would cost 40x more flops per hypothesis for identical output.
         # epnp_fast: the hypothesis stage is latency-bound on TPU (dozens of
         # tiny sequential kernels per solve), so hypotheses use the
         # minimal-kernel-count solver; the winner is LM-refined below.
-        ids = _masked_choice(hk, n, sample_size, mask)
         return epnp_fast(jnp.take(pw, ids, axis=0),
                          jnp.take(uv, ids, axis=0), k)
 
-    rs, ts = jax.vmap(hypothesis)(keys)
+    rs, ts = jax.vmap(hypothesis)(subset_ids)
 
     # Score all hypotheses against all points.
     pc = jnp.einsum("hij,nj->hni", rs, pw,

@@ -178,17 +178,27 @@ class TestICP:
 
 class TestRansacSampling:
     def test_minimal_subsets_are_distinct(self, key):
-        """Gumbel top-k sampling must return duplicate-free subsets that
-        respect the mask (cv2.solvePnPRansac parity: distinct points)."""
-        from pose_estimation_tpu.core.solvers.pnp import _masked_choice
+        """Shared-permutation sampling must return duplicate-free subsets
+        that respect the mask (cv2.solvePnPRansac parity: distinct
+        points), including when the valid count forces window wrap."""
+        from pose_estimation_tpu.core.solvers.pnp import _minimal_subsets
         import jax
-        mask = np.ones(32, np.float32)
-        mask[16:] = 0.0
-        for i in range(20):
-            ids = np.asarray(_masked_choice(
-                jax.random.fold_in(key, i), 32, 6, jnp.asarray(mask)))
-            assert len(set(ids.tolist())) == 6, ids
-            assert ids.max() < 16, ids  # masked tail never sampled
+        for n_valid in (16, 9, 6):  # 16: wraps at subset 3; 6: every one
+            mask = np.zeros(32, np.float32)
+            mask[:n_valid] = 1.0
+            for i in range(10):
+                ids = np.asarray(_minimal_subsets(
+                    jax.random.fold_in(key, 100 * n_valid + i), 32, 6, 8,
+                    jnp.asarray(mask)))
+                assert ids.shape == (8, 6)
+                for row in ids:
+                    assert len(set(row.tolist())) == 6, (n_valid, row)
+                assert ids.max() < n_valid, (n_valid, ids)
+        # full-rank case: first floor(n_valid/6) subsets are disjoint
+        mask = np.ones(64, np.float32)
+        ids = np.asarray(_minimal_subsets(key, 64, 6, 10, jnp.asarray(mask)))
+        flat = ids[:10].reshape(-1)[: (64 // 6) * 6]
+        assert len(set(flat.tolist())) == len(flat)
 
     def test_robust_refine_with_noise_and_outliers(self, rng, key):
         """Cauchy-reweighted LM over all points must match or beat the
