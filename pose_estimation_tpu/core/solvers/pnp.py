@@ -59,16 +59,22 @@ def _minimal_subsets(key: jax.Array, n: int, num: int, num_subsets: int,
 
 
 @partial(jax.jit, static_argnames=("num_hypotheses", "sample_size",
-                                   "refine_iters", "robust_refine"))
+                                   "refine_iters", "robust_refine",
+                                   "refine_top_k"))
 def pnp_ransac(key: jax.Array, pw: jax.Array, uv: jax.Array, k: jax.Array,
                mask: jax.Array | None = None,
                num_hypotheses: int = 64, sample_size: int = 6,
                inlier_px: float = 2.0, refine_iters: int = 5,
-               robust_refine: bool = False):
+               robust_refine: bool = False, refine_top_k: int = 1):
     # refine_iters=5 measured accuracy-equivalent to 10 (median rot err
     # 0.140 vs 0.144 deg on noisy+25%-outlier scenes); LM iterations are
     # the deepest sequential chain in the eval program.
     """Single instance RANSAC PnP. pw [n,3], uv [n,2], k [3,3], mask [n].
+
+    refine_top_k > 1 LM-refines the K highest-scoring hypotheses (vmapped,
+    so no extra sequential depth) and keeps the one with the lowest final
+    weighted reprojection error — a multi-start guard against the inlier
+    count picking a locally-poor basin under coordinate-map noise.
 
     Returns dict with r [3,3], t [3], pose6 [6], inliers [n] bool,
     mean_err (px MSE over inliers). vmap over instances for a batch.
@@ -103,18 +109,48 @@ def pnp_ransac(key: jax.Array, pw: jax.Array, uv: jax.Array, k: jax.Array,
     scores = inl.sum(-1)
     best = jnp.argmax(scores)
 
-    pose0 = jnp.concatenate([matrix_to_axis_angle(rs[best]), ts[best]])
-    # Refine on the best hypothesis's inliers; if degenerate (few inliers)
-    # fall back to all masked points.
-    w_inl = inl[best].astype(pw.dtype)
-    if robust_refine:
-        # Cauchy reweighting over ALL masked points instead of the hard
-        # 2px cut: every point contributes, downweighted smoothly by its
-        # residual at the winning hypothesis — averages more of the
-        # coordinate-map noise into the LM fit than a binary inlier set.
-        w_inl = mask / (1.0 + (err[best] / inlier_px) ** 2)
-    w_ref = jnp.where(scores[best] >= sample_size, w_inl, mask)
-    pose, mse = refine_pose_lm(pose0, pw, uv, k, w_ref, iters=refine_iters)
+    def weights_for(idx):
+        # Refine on the hypothesis's inliers; if degenerate (few inliers)
+        # fall back to all masked points.
+        w_inl = inl[idx].astype(pw.dtype)
+        if robust_refine:
+            # Cauchy reweighting over ALL masked points instead of the
+            # hard 2px cut: every point contributes, downweighted smoothly
+            # by its residual at the hypothesis — averages more of the
+            # coordinate-map noise into the LM fit than a binary inlier
+            # set.
+            w_inl = mask / (1.0 + (err[idx] / inlier_px) ** 2)
+        return jnp.where(scores[idx] >= sample_size, w_inl, mask)
+
+    if refine_top_k <= 1:
+        pose0 = jnp.concatenate([matrix_to_axis_angle(rs[best]), ts[best]])
+        pose, mse = refine_pose_lm(pose0, pw, uv, k, weights_for(best),
+                                   iters=refine_iters)
+    else:
+        _, top = jax.lax.top_k(scores, refine_top_k)
+
+        def refine_one(idx):
+            p0 = jnp.concatenate([matrix_to_axis_angle(rs[idx]), ts[idx]])
+            return refine_pose_lm(p0, pw, uv, k, weights_for(idx),
+                                  iters=refine_iters)
+
+        poses, _ = jax.vmap(refine_one)(top)
+        # Rank refined candidates by a COMMON objective (their own per-run
+        # weights differ): robust Cauchy-weighted reprojection error over
+        # the masked points.
+        def common_cost(p):
+            res = reprojection_residuals(p, pw, uv, k).reshape(-1, 2)
+            e2 = jnp.sum(res * res, -1)
+            rho = jnp.log1p(e2 / (inlier_px * inlier_px))
+            return (mask * rho).sum()
+
+        costs = jax.vmap(common_cost)(poses)
+        win = jnp.argmin(costs)
+        pose = poses[win]
+        res = reprojection_residuals(pose, pw, uv, k).reshape(-1, 2)
+        w_win = weights_for(top[win])
+        mse = (w_win * jnp.sum(res * res, -1)).sum() / jnp.maximum(
+            w_win.sum(), 1e-12)
 
     # Final inlier set at the refined pose.
     res = reprojection_residuals(pose, pw, uv, k).reshape(-1, 2)

@@ -164,7 +164,8 @@ def build_train_step(model, tx, cfg: Config) -> Callable:
 
 def build_eval_step(model, cfg: Config, num_pnp_points: int = 256,
                     pnp_hypotheses: int = 32,
-                    robust_refine: bool = False) -> Callable:
+                    robust_refine: bool = False,
+                    refine_top_k: int = 1) -> Callable:
     """Returns eval_step(params, batch, key) -> dict of per-sample metrics.
 
     Full on-device pose recovery (tools/trainer.py:383-438 equivalent):
@@ -225,7 +226,7 @@ def build_eval_step(model, cfg: Config, num_pnp_points: int = 256,
         keys = jax.random.split(key, b)
         solve = jax.vmap(lambda kk, p, u, km: pnp_ransac(
             kk, p, u, km, num_hypotheses=pnp_hypotheses, inlier_px=2.0,
-            robust_refine=robust_refine))
+            robust_refine=robust_refine, refine_top_k=refine_top_k))
         pnp = solve(keys, pw, uv, batch["k"])
 
         pred_r = pnp["r"]

@@ -200,6 +200,29 @@ class TestRansacSampling:
         flat = ids[:10].reshape(-1)[: (64 // 6) * 6]
         assert len(set(flat.tolist())) == len(flat)
 
+    def test_refine_top_k_multi_start(self, rng, key):
+        """LM-refining the top-4 hypotheses and keeping the lowest
+        common-objective candidate must match or beat winner-only
+        refinement under noise + outliers (multi-start guard against the
+        inlier count picking a poor basin)."""
+        errs = {1: [], 4: []}
+        for trial in range(6):
+            pw, uv, r_gt, t_gt = _make_case(rng, n=256, noise=1.0)
+            bad = rng.choice(256, 64, replace=False)
+            uv_c = uv.copy()
+            uv_c[bad] += rng.randn(64, 2) * 40 + 20
+            for k_top in (1, 4):
+                out = pnp_ransac(jax.random.fold_in(key, trial),
+                                 jnp.asarray(pw), jnp.asarray(uv_c),
+                                 jnp.asarray(K), inlier_px=2.0,
+                                 refine_top_k=k_top)
+                errs[k_top].append(float(
+                    geo.angular_distance(out["r"], jnp.asarray(r_gt))))
+        m1 = np.mean(errs[1])
+        m4 = np.mean(errs[4])
+        assert m4 < 2.0, errs
+        assert m4 <= m1 * 1.2 + 0.1, (m1, m4)
+
     def test_robust_refine_with_noise_and_outliers(self, rng, key):
         """Cauchy-reweighted LM over all points must match or beat the
         hard-inlier refinement under per-point noise + outliers."""
