@@ -15,31 +15,54 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import jax
 import numpy as np
 
 
-def make_cfg(schema, region_decode: bool = False, epochs: int = 160):
+def make_cfg(schema, region_decode: bool = False, epochs: int = 160,
+             capacity: bool = False):
+    """capacity=True: a fuller model + finer inputs (128px crops, 1024
+    points, wider HRNet) — the mini config's rotation tail is coordinate-
+    map noise (solver ablations moved mean rot < 2 deg while the map
+    limited it at ~12 deg), and map sharpness is capacity/resolution
+    bound."""
+    if capacity:
+        size = {"data.num_regions": 16, "data.num_points": 1024,
+                "data.input_size": 128,
+                "module.backbone_outc": 128, "module.stem_width": 48,
+                "module.hrnet_stages": ((1, 3, (48, 48)),
+                                        (3, 3, (48, 48, 96)),
+                                        (2, 3, (48, 48, 96, 96))),
+                "module.xyznet": schema.HeadConfig(hidden=128),
+                "module.nmlnet": schema.HeadConfig(hidden=128),
+                "module.gcn3d": schema.Gcn3dConfig(neighbor_num=10,
+                                                   support_num=7),
+                "train.lr.anneal_point": 0.5}
+    else:
+        size = {"data.num_regions": 16, "data.num_points": 512,
+                "data.input_size": 96,
+                "module.backbone_outc": 64, "module.stem_width": 32,
+                "module.hrnet_stages": ((1, 2, (32, 32)),
+                                        (2, 2, (32, 32, 64)),
+                                        (1, 2, (32, 32, 64, 64))),
+                "module.xyznet": schema.HeadConfig(hidden=64),
+                "module.nmlnet": schema.HeadConfig(hidden=64),
+                "module.gcn3d": schema.Gcn3dConfig(neighbor_num=8,
+                                                   support_num=4),
+                "train.lr.anneal_point": 0.6}
     return schema.override(
         schema.Config(),
         **{"train.num_epoch": epochs,   # real horizon -> LR anneal engages
-           "module.num_cls": 4, "data.num_regions": 16,
-           "data.num_points": 512, "data.input_size": 96,
-           "module.backbone_outc": 64, "module.stem_width": 32,
-           "module.hrnet_stages": ((1, 2, (32, 32)), (2, 2, (32, 32, 64)),
-                                   (1, 2, (32, 32, 64, 64))),
-           "module.xyznet": schema.HeadConfig(hidden=64),
-           "module.nmlnet": schema.HeadConfig(hidden=64),
+           "module.num_cls": 4,
            "module.xyz_offset_decode": region_decode,
            "train.batch_size": 16, "train.amp": True,
            "train.start_pose_epoch": 0,
            "train.ckpt_every": 0,
            "train.lr.lr": 3e-4, "train.lr.warmup_iters": 100,
-           "train.lr.anneal_point": 0.6,
-           "module.gcn3d": schema.Gcn3dConfig(neighbor_num=8,
-                                              support_num=4)})
+           **size})
 
 
 def build_device_store(dataset, cfg, key, chunk: int = 16):
@@ -68,7 +91,11 @@ def build_device_store(dataset, cfg, key, chunk: int = 16):
 
 def run_variant(name: str, region_decode: bool, epochs: int,
                 train_ds, test_ds, store, log_root: str,
-                refine_epochs: int = 0, ablation: bool = False):
+                refine_epochs: int = 0, ablation: bool = False,
+                capacity: bool = False, eval_from_ckpt: str = ""):
+    """eval_from_ckpt: resume the saved final checkpoint and run only the
+    eval (+ ablation) part — rebuilds a variant's RESULTS entry without
+    retraining (e.g. after an orchestrating process died post-training)."""
     import jax.numpy as jnp
     import numpy as np
     from pose_estimation_tpu.configs import schema
@@ -78,9 +105,11 @@ def run_variant(name: str, region_decode: bool, epochs: int,
     from pose_estimation_tpu.train.trainer import Trainer
 
     total_epochs = epochs + refine_epochs
-    cfg = make_cfg(schema, region_decode, epochs=total_epochs)
+    cfg = make_cfg(schema, region_decode, epochs=total_epochs,
+                   capacity=capacity)
     tr = Trainer(cfg, train_ds, test_dataset=test_ds,
-                 log_dir=f"{log_root}/{name}")
+                 log_dir=f"{log_root}/{name}",
+                 resume=eval_from_ckpt or None)
     tr.init_state()
 
     gather = jax.jit(lambda s, i: jax.tree.map(
@@ -93,13 +122,14 @@ def run_variant(name: str, region_decode: bool, epochs: int,
     # rotation recovery is sensitive. Same tx => optimizer state and the
     # LR anneal (horizon = total_epochs) carry straight through.
     refine_step = None
-    if refine_epochs:
+    if refine_epochs and not eval_from_ckpt:
         cfg_ref = schema.override(cfg, **{"train.refine": True})
         refine_step = build_train_step(tr.model, tr.tx, cfg_ref)
 
     bs = cfg.train.batch_size
     t0 = time.time()
-    for epoch in range(total_epochs):
+    train_epochs = 0 if eval_from_ckpt else total_epochs
+    for epoch in range(train_epochs):
         step_fn = (refine_step if refine_step is not None
                    and epoch >= epochs else tr.train_step)
         ek = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), epoch)
@@ -117,13 +147,14 @@ def run_variant(name: str, region_decode: bool, epochs: int,
             print(f"[{name}] epoch {epoch}: "
                   f"{json.dumps(s['overall'])}", flush=True)
     train_sec = time.time() - t0
-    # final checkpoint: eval-side solver experiments rerun from here
-    # without retraining (best-ckpt tracking may have saved this step)
-    try:
-        tr.ckpt.save(int(tr.state.step), tr.state, metrics={"final": 1.0},
-                     force=True)
-    except Exception as e:
-        print(f"[{name}] final ckpt save skipped: {type(e).__name__}")
+    if not eval_from_ckpt:
+        # final checkpoint: eval-side solver experiments rerun from here
+        # without retraining (best-ckpt tracking may have saved this step)
+        try:
+            tr.ckpt.save(int(tr.state.step), tr.state,
+                         metrics={"final": 1.0}, force=True)
+        except Exception as e:
+            print(f"[{name}] final ckpt save skipped: {type(e).__name__}")
     summary = tr.test_epoch(999)
     frames = int(tr.state.step) * cfg.train.batch_size
     result = {
@@ -132,11 +163,14 @@ def run_variant(name: str, region_decode: bool, epochs: int,
         "epochs": epochs,
         "refine_epochs": refine_epochs,
         "steps": int(tr.state.step),
-        "train_seconds": round(train_sec, 1),
-        "train_fps": round(frames / max(train_sec, 1e-9), 1),
+        "train_seconds": None if eval_from_ckpt else round(train_sec, 1),
+        "train_fps": (None if eval_from_ckpt
+                      else round(frames / max(train_sec, 1e-9), 1)),
         "per_object": summary["per_object"],
         "overall": summary["overall"],
     }
+    if eval_from_ckpt:
+        result["eval_from_ckpt"] = eval_from_ckpt
     if ablation:
         # Solver-settings ablation on the SAME trained checkpoint: where
         # does the rotation tail come from — hypothesis count, LM weight
@@ -146,6 +180,8 @@ def run_variant(name: str, region_decode: bool, epochs: int,
             "h64": dict(pnp_hypotheses=64),
             "robust": dict(robust_refine=True),
             "h64_robust": dict(pnp_hypotheses=64, robust_refine=True),
+            "h64_robust_top4": dict(pnp_hypotheses=64, robust_refine=True,
+                                    refine_top_k=4),
             "p512": dict(num_pnp_points=512),
             "p512_h64_robust": dict(num_pnp_points=512, pnp_hypotheses=64,
                                     robust_refine=True),
@@ -175,7 +211,17 @@ def main(argv=None):
     p.add_argument("--frames_per_object", type=int, default=512)
     p.add_argument("--out", default="RESULTS_synthetic.json")
     p.add_argument("--log_root", default="/tmp/convergence")
-    p.add_argument("--skip_region_decode", action="store_true")
+    p.add_argument("--variants", default="raw_xyz,region_decoded",
+                   help="comma list of raw_xyz|region_decoded|capacity. "
+                        "Run ONE per process: a dead relay buffer from a "
+                        "finished variant wedged a follow-on variant's "
+                        "train loop mid-epoch (observed r3)")
+    p.add_argument("--append", action="store_true",
+                   help="merge into an existing --out file instead of "
+                        "overwriting (replaces same-named variants)")
+    p.add_argument("--eval_from_ckpt", default="",
+                   help="skip training; rebuild the (single) variant's "
+                        "entry by evaluating this checkpoint dir")
     p.add_argument("--eval_ablation", action="store_true",
                    help="after training, re-evaluate the checkpoint under "
                         "alternative solver settings")
@@ -197,10 +243,6 @@ def main(argv=None):
         num_objects=4, frames_per_object=32,
         im_h=240, im_w=320, num_regions=16, pose_seed=7, sym_objects=(3,),
         cache_frames=True)
-    cfg0 = make_cfg(schema, False, epochs=args.epochs)
-    print(f"building device store ({len(train_ds)} samples)...", flush=True)
-    store = build_device_store(train_ds, cfg0, jax.random.PRNGKey(777))
-
     results = {"fixture": "SyntheticPoseDataset(4 objects, 1 symmetric, "
                           "held-out pose_seed=7 split)",
                "protocol": "full PnP eval path (on-device EPnP-RANSAC "
@@ -208,15 +250,41 @@ def main(argv=None):
                            "ADD(-S) < {0.1, 0.05, 0.02} * diameter, "
                            "5deg5cm; AUC over [0, 0.1m]",
                "variants": []}
-    results["variants"].append(run_variant(
-        "raw_xyz", False, args.epochs, train_ds, test_ds, store,
-        args.log_root, refine_epochs=args.refine_epochs,
-        ablation=args.eval_ablation))
-    if not args.skip_region_decode:
+    wanted = [v.strip() for v in args.variants.split(",") if v.strip()]
+    spec = {  # name -> (region_decode, capacity)
+        "raw_xyz": (False, False),
+        "region_decoded": (True, False),
+        "capacity": (False, True),
+    }
+    unknown = [v for v in wanted if v not in spec]
+    assert not unknown, f"unknown variants {unknown}"
+    assert not (args.eval_from_ckpt and len(wanted) != 1), (
+        "--eval_from_ckpt takes exactly one variant")
+
+    if args.append and os.path.isfile(args.out):
+        with open(args.out) as f:
+            results = json.load(f)
+        results["variants"] = [v for v in results["variants"]
+                               if v["variant"] not in wanted]
+
+    store = None
+    store_key = None  # (input_size, num_points) the store was built for
+    for name in wanted:
+        region_decode, capacity = spec[name]
+        cfg_v = make_cfg(schema, region_decode, epochs=args.epochs,
+                         capacity=capacity)
+        need = (cfg_v.data.input_size, cfg_v.data.num_points)
+        if not args.eval_from_ckpt and store_key != need:
+            print(f"building device store ({len(train_ds)} samples, "
+                  f"crop {need[0]}, {need[1]} pts)...", flush=True)
+            store = build_device_store(train_ds, cfg_v,
+                                       jax.random.PRNGKey(777))
+            store_key = need
         results["variants"].append(run_variant(
-            "region_decoded", True, args.epochs, train_ds, test_ds, store,
+            name, region_decode, args.epochs, train_ds, test_ds, store,
             args.log_root, refine_epochs=args.refine_epochs,
-            ablation=args.eval_ablation))
+            ablation=args.eval_ablation, capacity=capacity,
+            eval_from_ckpt=args.eval_from_ckpt))
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps({v["variant"]: v["overall"]
