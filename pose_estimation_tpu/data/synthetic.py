@@ -64,7 +64,8 @@ def make_object(seed: int, num_surface: int = 20000, num_model: int = 500,
         fps_centers=pts[fps_idx].astype(np.float32),
         diameter=diam, extent=ext.astype(np.float32),
         lf_border=lf.astype(np.float32),
-        model_points=pts[model_idx].astype(np.float32))
+        model_points=pts[model_idx].astype(np.float32),
+        sym=sym)
 
 
 def _fps_numpy(pts: np.ndarray, k: int, rng) -> np.ndarray:
@@ -79,6 +80,17 @@ def _fps_numpy(pts: np.ndarray, k: int, rng) -> np.ndarray:
 DEFAULT_K = np.array([[572.4114, 0., 325.2611],
                       [0., 573.57043, 242.04899],
                       [0., 0., 1.]], np.float32)
+
+
+# Fixed channel-mixing directions for the texture octaves (object-
+# independent; shapes differ per object, and per-class heads separate
+# classes — shared texture statistics are fine and keep SynObject lean).
+_TEX_M1 = np.array([[0.36, -0.80, 0.48], [0.80, 0.48, 0.36],
+                    [-0.48, 0.36, 0.80]], np.float32)
+_TEX_M2 = np.array([[0.0, 0.6, -0.8], [-0.6, 0.64, 0.48],
+                    [0.8, 0.48, 0.36]], np.float32)
+_TEX_M3 = np.array([[0.69, 0.69, 0.23], [-0.23, 0.69, -0.69],
+                    [-0.69, 0.23, 0.69]], np.float32)
 
 
 def render_frame(obj: SynObject, r: np.ndarray, t: np.ndarray,
@@ -121,9 +133,21 @@ def render_frame(obj: SynObject, r: np.ndarray, t: np.ndarray,
     region = np.zeros(im_h * im_w, np.int32)
     region[mask] = d2.argmin(-1) + 1
 
-    # simple shaded rgb from normals + per-object pseudo-albedo
+    # Shaded rgb from normals + multi-octave object-frame texture.
+    # Coordinate-regression targets need appearance ANCHORED to object-
+    # frame position (LineMOD objects are textured, batchdataset.py's
+    # frames); fixture v1's single |sin(40p)| octave spanned < 1 period
+    # across a 5 cm object — per-point coords were unobservable up to
+    # surface sliding, measured as a ~12 deg PnP-rotation floor that no
+    # solver setting recovered (RESULTS eval_ablation, r3).
     shade = np.clip(-normal_cam[:, 2], 0.05, 1.0)
-    albedo = 0.3 + 0.7 * np.abs(np.sin(obj.points[:, :3] * 40.0))
+    p = obj.points
+    albedo = np.clip(
+        0.35 + 0.40 * np.abs(np.sin(p * 40.0))
+        + 0.20 * np.sin(p @ _TEX_M1.T * 150.0)    # ~4 cm period
+        + 0.15 * np.sin(p @ _TEX_M2.T * 450.0)    # ~1.4 cm
+        + 0.10 * np.sin(p @ _TEX_M3.T * 1200.0),  # ~5 mm
+        0.05, 1.0)
     rgb = np.zeros((im_h * im_w, 3), np.float32)
     rgb[mask] = albedo[widx] * shade[mask][:, None]
     bg = rng.rand(im_h, im_w, 3).astype(np.float32) * 0.2

@@ -243,7 +243,8 @@ def main(argv=None):
         num_objects=4, frames_per_object=32,
         im_h=240, im_w=320, num_regions=16, pose_seed=7, sym_objects=(3,),
         cache_frames=True)
-    results = {"fixture": "SyntheticPoseDataset(4 objects, 1 symmetric, "
+    results = {"fixture": "SyntheticPoseDataset v2 (4 objects, 1 symmetric "
+                          "[ADD-S], multi-octave object-frame texture, "
                           "held-out pose_seed=7 split)",
                "protocol": "full PnP eval path (on-device EPnP-RANSAC "
                            "rotation + regressed translation); thresholds "
