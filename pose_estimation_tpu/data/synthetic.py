@@ -247,7 +247,12 @@ class SyntheticTransparentDataset(SyntheticPoseDataset):
     def __getitem__(self, i):
         frame = super().__getitem__(i)
         frame["axis"] = _SYN_AXES[frame["cls_id"] % len(_SYN_AXES)]
-        frame["sym"] = 0.0
+        # propagate the object's sym flag (eggbox/glue semantics) so the
+        # transparent loss's symmetric-chamfer branch and eval ADD-S are
+        # exercised on the fixture — same bug class as the KRRN fixture's
+        # dropped sym flag (fixed r3): a hardcoded 0.0 here made
+        # `sym_objects` silently inert for the transparent pipeline.
+        frame["sym"] = float(self.objects[frame["cls_id"]].sym)
         return frame
 
     def model_points(self, obj_id: int, num_points: int = 500):

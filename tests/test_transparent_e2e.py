@@ -98,3 +98,17 @@ class TestTransparentTrainerE2E:
                     open(os.path.join(str(tmp_path / "run"), "eval.jsonl"))]
         assert len(eval_log) >= 1
         assert np.isfinite(eval_log[-1]["add_dis"])
+
+class TestSymFlagPropagation:
+    def test_sym_objects_reach_frames_and_batch(self):
+        # regression: the transparent fixture hardcoded frame["sym"]=0.0,
+        # silently disabling the symmetric-chamfer loss branch and ADD-S
+        # on the fixture (same class as the r3 KRRN fixture fix)
+        ds = SyntheticTransparentDataset(
+            num_objects=2, frames_per_object=2, im_h=120, im_w=160,
+            num_regions=8, sym_objects=(1,))
+        assert ds[0]["sym"] == 0.0
+        assert ds[1]["sym"] == 1.0
+        batch = make_transparent_batch(ds, [0, 1], seed=0, img_size=64,
+                                       num_model=64)
+        np.testing.assert_allclose(np.asarray(batch["sym_mask"]), [0.0, 1.0])
