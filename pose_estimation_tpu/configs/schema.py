@@ -157,6 +157,22 @@ class DataConfig:
 
 
 @dataclass(frozen=True)
+class EvalConfig:
+    """Eval-time pose-solver settings (the rebuild's analog of the
+    reference's fixed cv2.solvePnPRansac call, tools/trainer.py:423-427).
+
+    Defaults are the measured-best operating point from the committed
+    solver ablation (RESULTS_synthetic.json eval_ablation: 64 hypotheses
+    + Cauchy-robust LM over all masked points + multi-start top-4
+    refinement beat the 32/hard-inlier/top-1 baseline by ~2 deg mean
+    rotation and +3pts ADD@0.1d at equal map quality)."""
+    num_pnp_points: int = 256        # reference: 256 random chosen pixels
+    pnp_hypotheses: int = 64
+    robust_refine: bool = True       # Cauchy-reweighted LM vs 2px cut
+    refine_top_k: int = 4            # multi-start LM over the K best
+
+
+@dataclass(frozen=True)
 class MeshConfig:
     """Device-mesh axes for pjit sharding (replaces MULTIGPU.*,
     version/transparent/train.py:1221-1229)."""
@@ -175,6 +191,7 @@ class Config:
     data: DataConfig = field(default_factory=DataConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     module: ModuleConfig = field(default_factory=ModuleConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     seed: int = 0
 

@@ -162,17 +162,28 @@ def build_train_step(model, tx, cfg: Config) -> Callable:
     return train_step
 
 
-def build_eval_step(model, cfg: Config, num_pnp_points: int = 256,
-                    pnp_hypotheses: int = 32,
-                    robust_refine: bool = False,
-                    refine_top_k: int = 1) -> Callable:
+def build_eval_step(model, cfg: Config, num_pnp_points: int | None = None,
+                    pnp_hypotheses: int | None = None,
+                    robust_refine: bool | None = None,
+                    refine_top_k: int | None = None) -> Callable:
     """Returns eval_step(params, batch, key) -> dict of per-sample metrics.
 
     Full on-device pose recovery (tools/trainer.py:383-438 equivalent):
     denormalize the predicted xyz map at `num_pnp_points` of the chosen
     pixels, PnP-RANSAC against their original pixel coords, pair the
     recovered rotation with the regressed translation, score ADD(-S).
+
+    Solver settings default to cfg.eval (the measured-best operating
+    point); explicit kwargs override for ablations/sweeps.
     """
+    ev = cfg.eval
+    num_pnp_points = ev.num_pnp_points if num_pnp_points is None \
+        else num_pnp_points
+    pnp_hypotheses = ev.pnp_hypotheses if pnp_hypotheses is None \
+        else pnp_hypotheses
+    robust_refine = ev.robust_refine if robust_refine is None \
+        else robust_refine
+    refine_top_k = ev.refine_top_k if refine_top_k is None else refine_top_k
     use_bn = cfg.module.norm == "bn"
     offset_decode = cfg.module.xyz_offset_decode
     soft_decode = cfg.module.region_soft_decode

@@ -49,11 +49,14 @@ def main(argv=None):
     tr.init_state()
 
     sweeps = {
-        "default_h32": {},
-        "h64_robust": dict(pnp_hypotheses=64, robust_refine=True),
-        "h64_top4": dict(pnp_hypotheses=64, refine_top_k=4),
-        "h64_robust_top4": dict(pnp_hypotheses=64, robust_refine=True,
-                                refine_top_k=4),
+        # {} = cfg.eval defaults (h64+robust+top4 since the r3 sweep)
+        "default": {},
+        "h32_hard_top1": dict(pnp_hypotheses=32, robust_refine=False,
+                              refine_top_k=1),
+        "h64_robust": dict(pnp_hypotheses=64, robust_refine=True,
+                           refine_top_k=1),
+        "h64_top4": dict(pnp_hypotheses=64, robust_refine=False,
+                         refine_top_k=4),
     }
     report = {}
     for name, kw in sweeps.items():

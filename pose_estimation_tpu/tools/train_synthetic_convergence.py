@@ -176,15 +176,15 @@ def run_variant(name: str, region_decode: bool, epochs: int,
         # does the rotation tail come from — hypothesis count, LM weight
         # scheme, PnP point budget? (VERDICT r2 weak #3/#5 follow-up.)
         abl = {}
+        # Deltas from the cfg.eval default (h64 + Cauchy-robust LM +
+        # top-4 multi-start — the winner of the r3 sweep, now the
+        # shipped default; see schema.EvalConfig):
         variants = {
-            "h64": dict(pnp_hypotheses=64),
-            "robust": dict(robust_refine=True),
-            "h64_robust": dict(pnp_hypotheses=64, robust_refine=True),
-            "h64_robust_top4": dict(pnp_hypotheses=64, robust_refine=True,
-                                    refine_top_k=4),
+            "h32_hard_top1": dict(pnp_hypotheses=32, robust_refine=False,
+                                  refine_top_k=1),   # pre-r3 baseline
+            "no_robust": dict(robust_refine=False),
+            "top1": dict(refine_top_k=1),
             "p512": dict(num_pnp_points=512),
-            "p512_h64_robust": dict(num_pnp_points=512, pnp_hypotheses=64,
-                                    robust_refine=True),
         }
         if region_decode:
             variants["hard_decode"] = dict(hard=True)
