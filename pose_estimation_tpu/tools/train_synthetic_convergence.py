@@ -202,6 +202,17 @@ def run_variant(name: str, region_decode: bool, epochs: int,
     return result
 
 
+def merge_variants(existing, produced):
+    """Overlay this run's variant entries onto the file's CURRENT
+    variants (read at write time, not the launch-time snapshot): a
+    multi-hour run that re-writes its startup copy clobbers any variant
+    another process (or a manual edit) landed in the meantime — that
+    race erased the committed region_decoded entry once (see 7e0ef26
+    history). This run's entries win name collisions."""
+    ours = {v["variant"] for v in produced}
+    return [v for v in existing if v["variant"] not in ours] + produced
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=160)
@@ -256,18 +267,18 @@ def main(argv=None):
         "raw_xyz": (False, False),
         "region_decoded": (True, False),
         "capacity": (False, True),
+        # region decode at the capacity config: separates "region decoding
+        # is worse on this fixture" from "the mini config's map capacity
+        # limits every decode scheme" (the raw-path tail was proven
+        # capacity-bound; this is the same control for the region path)
+        "region_capacity": (True, True),
     }
     unknown = [v for v in wanted if v not in spec]
     assert not unknown, f"unknown variants {unknown}"
     assert not (args.eval_from_ckpt and len(wanted) != 1), (
         "--eval_from_ckpt takes exactly one variant")
 
-    if args.append and os.path.isfile(args.out):
-        with open(args.out) as f:
-            results = json.load(f)
-        results["variants"] = [v for v in results["variants"]
-                               if v["variant"] not in wanted]
-
+    produced = []
     store = None
     store_key = None  # (input_size, num_points) the store was built for
     for name in wanted:
@@ -281,11 +292,17 @@ def main(argv=None):
             store = build_device_store(train_ds, cfg_v,
                                        jax.random.PRNGKey(777))
             store_key = need
-        results["variants"].append(run_variant(
+        produced.append(run_variant(
             name, region_decode, args.epochs, train_ds, test_ds, store,
             args.log_root, refine_epochs=args.refine_epochs,
             ablation=args.eval_ablation, capacity=capacity,
             eval_from_ckpt=args.eval_from_ckpt))
+
+    if args.append and os.path.isfile(args.out):
+        with open(args.out) as f:
+            results = json.load(f)
+    results["variants"] = merge_variants(results.get("variants", []),
+                                         produced)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps({v["variant"]: v["overall"]

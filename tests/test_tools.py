@@ -59,3 +59,23 @@ class TestRefineDeclarative:
         # tool docstring)
         assert out["after"]["trans_mm"] < out["before"]["trans_mm"] * 0.7
         assert np.isfinite(out["mean_residual_mm"])
+
+
+def test_convergence_merge_variants_preserves_concurrent_entries():
+    """Regression for the RESULTS clobber race: a run snapshotting the
+    file at launch must not erase variants another process landed while
+    it trained (the capacity run erased the committed region_decoded
+    entry this way — 7e0ef26 history). merge_variants overlays this
+    run's entries onto the file's current contents, winning only name
+    collisions."""
+    from pose_estimation_tpu.tools.train_synthetic_convergence import (
+        merge_variants)
+
+    on_disk = [{"variant": "raw_xyz", "overall": {"add_ok": 0.9}},
+               {"variant": "region_decoded", "overall": {"add_ok": 0.8}}]
+    produced = [{"variant": "raw_xyz", "overall": {"add_ok": 0.96}}]
+    merged = merge_variants(on_disk, produced)
+    by_name = {v["variant"]: v for v in merged}
+    assert set(by_name) == {"raw_xyz", "region_decoded"}
+    assert by_name["raw_xyz"]["overall"]["add_ok"] == 0.96  # ours wins
+    assert by_name["region_decoded"]["overall"]["add_ok"] == 0.8  # kept
