@@ -22,6 +22,12 @@ Env knobs:
   BENCH_BS     batch size (default 32 — the measured-best operating point)
   BENCH_ITERS  timed iterations (default 10)
   BENCH_FAST=1 quick mode: bs=16, 5 iters (for tight driver budgets)
+  BENCH_SOLVER reference (default) | shipped. "reference" mirrors the
+               reference's own eval solver strength (single EPnP-RANSAC,
+               32 hypotheses, one LM refine — cv2.solvePnPRansac at
+               tools/trainer.py:423-427); "shipped" uses the accuracy-
+               maxed cfg.eval defaults (64 hypotheses, Cauchy-robust LM,
+               top-4 multi-start) that the eval CLI runs with.
 """
 
 import json
@@ -72,9 +78,17 @@ def main():
     fast = os.environ.get("BENCH_FAST") == "1"
     batch_size = int(os.environ.get("BENCH_BS", 16 if fast else 32))
     iters = int(os.environ.get("BENCH_ITERS", 5 if fast else 10))
-    num_pnp_points = 256
+    solver = os.environ.get("BENCH_SOLVER", "reference")
 
     cfg = schema.Config()
+    if solver == "shipped":
+        num_pnp_points = cfg.eval.num_pnp_points
+        solver_kw = dict(num_hypotheses=cfg.eval.pnp_hypotheses,
+                         robust_refine=cfg.eval.robust_refine,
+                         refine_top_k=cfg.eval.refine_top_k)
+    else:
+        num_pnp_points = 256
+        solver_kw = dict(num_hypotheses=32)
     model = KRRN(cfg=cfg, dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
 
@@ -182,7 +196,7 @@ def main():
         uv = batch["xy_choosed"][:, sel]
         keys = jax.random.split(key, pw.shape[0])
         pnp = jax.vmap(lambda kk, p, u, km: pnp_ransac(
-            kk, p, u, km, num_hypotheses=32, inlier_px=2.0))(
+            kk, p, u, km, inlier_px=2.0, **solver_kw))(
                 keys, pw, uv, batch["k"])
         dis = add_metric(pnp["r"], pred_t, batch["target_r"],
                          batch["target_t"], batch["model_points"],
@@ -259,6 +273,7 @@ def main():
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 2),
         **({"mode": "fast"} if fast else {}),
+        **({"solver": solver} if solver != "reference" else {}),
     }), flush=True)
 
 

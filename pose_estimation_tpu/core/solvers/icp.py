@@ -33,26 +33,38 @@ def icp_refine(src: jax.Array, dst: jax.Array, r0: jax.Array, t0: jax.Array,
     src [B,N,3] (e.g. model points), dst [B,M,3] (e.g. backprojected depth
     cloud), r0 [B,3,3], t0 [B,3]. Returns (r, t, mean_residual [B]).
 
+    Correspondences run dst -> src: each OBSERVED point is matched to its
+    nearest model point. The observed cloud is typically a PARTIAL view
+    (the visible surface), while src covers the whole object — matching
+    src -> dst assigns every occluded-side model point a correspondence on
+    the visible patch, and the Kabsch fit drags the model toward the
+    camera even from a perfect initial pose (measured 4.2 deg / 2.8 mm
+    drift on a hemisphere view of a sphere; the committed
+    RESULTS_transparent add_dis_icp=0.044 m regression had this root
+    cause). dst -> src is partial-overlap-safe: every observed point does
+    lie on the true surface.
+
     trim_fraction > 0 soft-trims the worst correspondences each iteration
-    (robust ICP) via distance-ranked weights — fixed shapes throughout.
+    (robust ICP — absorbs observed-cloud outliers such as bad depth/mask
+    pixels) via distance-ranked weights — fixed shapes throughout.
     """
-    n = src.shape[1]
-    keep = n - int(trim_fraction * n)
+    m = dst.shape[1]
+    keep = m - int(trim_fraction * m)
 
     def step(carry, _):
         r, t = carry
         moved = transform_points(src, r, t)              # [B,N,3]
-        d = pairwise_sqdist(moved, dst)                  # [B,N,M]
-        nn_idx = jnp.argmin(d, axis=-1)
-        corr = jnp.take_along_axis(dst, nn_idx[..., None], axis=1)
+        d = pairwise_sqdist(dst, moved)                  # [B,M,N]
+        nn_idx = jnp.argmin(d, axis=-1)                  # [B,M] -> src idx
+        corr = jnp.take_along_axis(src, nn_idx[..., None], axis=1)
         if trim_fraction > 0.0:
             nn_d = jnp.min(d, axis=-1)
             thresh = jnp.sort(nn_d, axis=-1)[:, keep - 1][:, None]
             w = (nn_d <= thresh).astype(src.dtype)
         else:
-            w = jnp.ones(src.shape[:2], src.dtype)
-        r_new, t_new, _ = kabsch(src, corr, weights=w)
-        res = jnp.linalg.norm(transform_points(src, r_new, t_new) - corr,
+            w = jnp.ones(dst.shape[:2], src.dtype)
+        r_new, t_new, _ = kabsch(corr, dst, weights=w)
+        res = jnp.linalg.norm(transform_points(corr, r_new, t_new) - dst,
                               axis=-1)
         return (r_new, t_new), (w * res).sum(-1) / jnp.maximum(w.sum(-1), 1)
 

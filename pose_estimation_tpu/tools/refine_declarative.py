@@ -72,12 +72,12 @@ def main(argv=None):
     refine = jax.jit(lambda s, d, r, t: icp_refine(
         s, d, r, t, iters=args.iters, trim_fraction=args.trim))
     # src = the VISIBLE surface in the model frame (gt coordinate map at
-    # the chosen pixels) — aligning the full model point set against the
-    # partial depth cloud lets occluded-point correspondences drag the
-    # rotation (measured: rot 10 -> 14 deg WORSE with full model points;
-    # visible-subset src converges). This mirrors the reference prototype,
-    # which aligns per-pixel predicted coordinates against the cloud
-    # (train_declarative.py:42-109).
+    # the chosen pixels), mirroring the reference prototype, which aligns
+    # per-pixel predicted coordinates against the cloud
+    # (train_declarative.py:42-109). Note icp_refine now matches
+    # dst -> src (each observed point to its nearest model point), so a
+    # full-model src is also partial-overlap-safe; the visible subset is
+    # kept because per-pixel coordinates are what a coordinate head emits.
     from pose_estimation_tpu.data.pipeline import denormalize_xyz
     xyz = denormalize_xyz(batch["xyz"], batch["lf_border"], batch["extent"])
     b, s, _, _ = xyz.shape
