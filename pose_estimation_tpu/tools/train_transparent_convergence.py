@@ -43,6 +43,12 @@ def main(argv=None):
     p.add_argument("--refine", action="store_true",
                    help="eval-time trimmed-ICP refinement against the "
                         "predicted completed depth (cfg.train.refine)")
+    p.add_argument("--eval_from_ckpt", default="",
+                   help="skip training; rebuild RESULTS from this saved "
+                        "checkpoint dir (the run saves one at "
+                        "<log_root>/trpes/ckpt) — lets eval-side changes "
+                        "(e.g. the ICP solver) re-measure without the "
+                        "~15 min retrain")
     args = p.parse_args(argv)
 
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -65,7 +71,8 @@ def main(argv=None):
         cache_frames=True)
 
     tr = TransparentTrainer(cfg, train_ds, test_dataset=test_ds,
-                            log_dir=f"{args.log_root}/trpes")
+                            log_dir=f"{args.log_root}/trpes",
+                            resume=args.eval_from_ckpt or None)
     tr.init_state()
 
     # Device-resident sample store (same rationale as
@@ -74,44 +81,49 @@ def main(argv=None):
     # fixture-sized dataset fits in HBM, so transfer once, gather on
     # device per step).
     import jax.numpy as jnp
-    print(f"[trpes] building device store ({len(train_ds)} samples)...",
-          flush=True)
-    chunks = []
-    bs = cfg.train.batch_size
-    for start in range(0, len(train_ds) - bs + 1, bs):
-        chunks.append(tr._batch(list(range(start, start + bs)), seed=start))
-    store = jax.tree.map(lambda *xs: jnp.concatenate(xs), *chunks)
-    jax.block_until_ready(store)
-    gather = jax.jit(lambda s, i: jax.tree.map(
-        lambda x: jnp.take(x, i, axis=0), s))
+    train_sec = 0.0
+    if not args.eval_from_ckpt:
+        print(f"[trpes] building device store ({len(train_ds)} samples)...",
+              flush=True)
+        chunks = []
+        bs = cfg.train.batch_size
+        for start in range(0, len(train_ds) - bs + 1, bs):
+            chunks.append(
+                tr._batch(list(range(start, start + bs)), seed=start))
+        store = jax.tree.map(lambda *xs: jnp.concatenate(xs), *chunks)
+        jax.block_until_ready(store)
+        gather = jax.jit(lambda s, i: jax.tree.map(
+            lambda x: jnp.take(x, i, axis=0), s))
 
-    from pose_estimation_tpu.data.batching import epoch_indices
-    t0 = time.time()
-    for epoch in range(args.epochs):
-        ek = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), epoch)
-        for idx in epoch_indices(ek, len(train_ds), bs):
-            batch = gather(store, jnp.asarray(idx))
-            tr.state, metrics = tr.train_step(tr.state, batch)
-        if not np.isfinite(float(metrics["all_loss"])):
-            print(f"[trpes] non-finite loss at epoch {epoch}; aborting",
-                  flush=True)
-            break
-        if (epoch + 1) % 8 == 0:
-            s = tr.test_epoch(epoch)
-            print(f"[trpes] epoch {epoch}: {json.dumps(s['overall'])}",
-                  flush=True)
-    train_sec = time.time() - t0
-    # final checkpoint: lets eval-side variants rerun without retraining
-    # (best-ckpt tracking may already have saved this exact step)
-    try:
-        tr.ckpt.save(int(tr.state.step), tr.state, metrics={"final": 1.0},
-                     force=True)
-    except Exception as e:
-        print(f"[trpes] final ckpt save skipped: {type(e).__name__}")
+        from pose_estimation_tpu.data.batching import epoch_indices
+        t0 = time.time()
+        for epoch in range(args.epochs):
+            ek = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), epoch)
+            for idx in epoch_indices(ek, len(train_ds), bs):
+                batch = gather(store, jnp.asarray(idx))
+                tr.state, metrics = tr.train_step(tr.state, batch)
+            if not np.isfinite(float(metrics["all_loss"])):
+                print(f"[trpes] non-finite loss at epoch {epoch}; aborting",
+                      flush=True)
+                break
+            if (epoch + 1) % 8 == 0:
+                s = tr.test_epoch(epoch)
+                print(f"[trpes] epoch {epoch}: {json.dumps(s['overall'])}",
+                      flush=True)
+        train_sec = time.time() - t0
+        # final checkpoint: lets eval-side variants rerun without
+        # retraining (best-ckpt tracking may already have saved this step)
+        try:
+            tr.ckpt.save(int(tr.state.step), tr.state,
+                         metrics={"final": 1.0}, force=True)
+        except Exception as e:
+            print(f"[trpes] final ckpt save skipped: {type(e).__name__}")
     summary = tr.test_epoch(999)
 
     results = {
         "refine_icp": args.refine,
+        **({"eval_from_ckpt": args.eval_from_ckpt}
+           if args.eval_from_ckpt else {}),
         "fixture": "SyntheticTransparentDataset(4 objects, 1 symmetric, "
                    "held-out pose_seed=7 split)",
         "protocol": "batched TRPESNet eval: confidence-argmax point pose, "
@@ -119,9 +131,11 @@ def main(argv=None):
                     "true max-pairwise diameter",
         "epochs": args.epochs,
         "steps": int(tr.state.step),
-        "train_seconds": round(train_sec, 1),
-        "train_fps": round(int(tr.state.step) * cfg.train.batch_size
-                           / max(train_sec, 1e-9), 1),
+        "train_seconds": (None if args.eval_from_ckpt
+                          else round(train_sec, 1)),
+        "train_fps": (None if args.eval_from_ckpt
+                      else round(int(tr.state.step) * cfg.train.batch_size
+                                 / max(train_sec, 1e-9), 1)),
         "per_object": summary["per_object"],
         "overall": summary["overall"],
     }
