@@ -20,7 +20,9 @@ recompute) — so a warm process prints its JSON line well inside a
 
 Env knobs:
   BENCH_BS     batch size (default 32 — the measured-best operating point)
-  BENCH_ITERS  timed iterations (default 10)
+  BENCH_ITERS  timed iterations (default 20; 10-iter draws jitter ~+-2%
+               through the relay — 498-510 fps for the same program —
+               and the extra 10 iters cost only ~0.65 s)
   BENCH_FAST=1 quick mode: bs=16, 5 iters (for tight driver budgets)
   BENCH_SOLVER reference (default) | shipped. "reference" mirrors the
                reference's own eval solver strength (single EPnP-RANSAC,
@@ -77,7 +79,7 @@ def main():
 
     fast = os.environ.get("BENCH_FAST") == "1"
     batch_size = int(os.environ.get("BENCH_BS", 16 if fast else 32))
-    iters = int(os.environ.get("BENCH_ITERS", 5 if fast else 10))
+    iters = int(os.environ.get("BENCH_ITERS", 5 if fast else 20))
     solver = os.environ.get("BENCH_SOLVER", "reference")
 
     cfg = schema.Config()
