@@ -35,6 +35,23 @@ def loss_weights_dict(cfg: Config):
     }
 
 
+def region_base_at_choose(out: dict, batch: dict, soft: bool) -> jax.Array:
+    """Region-head decode at the chosen pixels: the per-point base
+    coordinate to add to the offset head's output. Soft = softmax-expected
+    region center (get_xyz, lib/network/loss_utils.py:19-29); hard =
+    argmax center (tools/script/eval.py:94-105). [B, N, 3]."""
+    b, h, w, r1 = out["region"].shape
+    region_flat = out["region"].reshape(b, h * w, r1)
+    region_emb = jnp.take_along_axis(
+        region_flat, batch["choose"][..., None], axis=1)
+    if soft:
+        wgt = jax.nn.softmax(region_emb.astype(jnp.float32), -1)
+        return jnp.einsum("bnr,brc->bnc", wgt, batch["region_points"])
+    idx = jnp.argmax(region_emb, axis=-1)                      # [B, N]
+    return jnp.take_along_axis(batch["region_points"], idx[..., None],
+                               axis=1)
+
+
 def build_refine_loss(cfg: Config, num_points: int = 128,
                       num_hypotheses: int = 8) -> Callable:
     """Train-time differentiable-PnP ADD loss (the Train.REFINE / BPnP
@@ -54,13 +71,7 @@ def build_refine_loss(cfg: Config, num_points: int = 128,
         if offset_decode:
             # offsets -> absolute coords via the soft region decode (same
             # convention as eval; get_xyz, lib/network/loss_utils.py:19-29)
-            b, h, w, r1 = out["region"].shape
-            region_flat = out["region"].reshape(b, h * w, r1)
-            region_emb = jnp.take_along_axis(
-                region_flat, batch["choose"][..., None], axis=1)
-            wgt = jax.nn.softmax(region_emb.astype(jnp.float32), -1)
-            xyz_emb = xyz_emb + jnp.einsum("bnr,brc->bnc", wgt,
-                                           batch["region_points"])
+            xyz_emb = xyz_emb + region_base_at_choose(out, batch, soft=True)
         n = batch["choose"].shape[1]
         stride = max(n // num_points, 1)
         sel = jnp.arange(num_points) * stride % n
@@ -201,24 +212,11 @@ def build_eval_step(model, cfg: Config, num_pnp_points: int | None = None,
         xyz_emb = out["xyz_emb"]
         if offset_decode:
             # Region-decoded coordinates: absolute = offset + region
-            # center at chosen pixels. Soft (default): softmax-expected
-            # center (get_xyz, lib/network/loss_utils.py:19-29) — a pixel
-            # whose region posterior straddles a boundary decodes to the
-            # blend, not a hard snap to the argmax cell. Hard: argmax
-            # center (tools/script/eval.py:94-105).
-            b, h, w, r1 = out["region"].shape
-            region_flat = out["region"].reshape(b, h * w, r1)
-            region_emb = jnp.take_along_axis(
-                region_flat, batch["choose"][..., None], axis=1)
-            if soft_decode:
-                wgt = jax.nn.softmax(region_emb.astype(jnp.float32), -1)
-                base = jnp.einsum("bnr,brc->bnc", wgt,
-                                  batch["region_points"])
-            else:
-                idx = jnp.argmax(region_emb, axis=-1)        # [B, N]
-                base = jnp.take_along_axis(batch["region_points"],
-                                           idx[..., None], axis=1)
-            xyz_emb = xyz_emb + base
+            # center at chosen pixels. Soft (default): a pixel whose
+            # region posterior straddles a boundary decodes to the blend,
+            # not a hard snap to the argmax cell.
+            xyz_emb = xyz_emb + region_base_at_choose(out, batch,
+                                                      soft=soft_decode)
         return xyz_emb, out["pred_t"]
 
     @jax.jit
@@ -255,3 +253,71 @@ def build_eval_step(model, cfg: Config, num_pnp_points: int | None = None,
         return _pose_recovery(xyz_emb, pred_t, batch, key)
 
     return eval_step
+
+
+def build_infer_step(model, cfg: Config, num_pnp_points: int | None = None,
+                     pnp_hypotheses: int | None = None,
+                     robust_refine: bool | None = None,
+                     refine_top_k: int | None = None) -> Callable:
+    """Ground-truth-free serving program: image/cloud crops -> poses.
+
+    Same two compiled programs as build_eval_step (model forward + pose
+    recovery) MINUS the metric stage — nothing in the traced graph reads
+    gt fields (target/target_r/target_t/model_points/sym_mask/diameter),
+    so it runs on detection-cropped frames with no annotations
+    (tests/test_infer.py proves it by deleting every gt key). This is the
+    deployment surface the reference lacks: its eval scripts all assume
+    labels (tools/trainer.py:145-368, tools/script/eval.py).
+
+    Returns infer_step(params, batch, key, batch_stats=None) -> dict with
+    pred_r [B,3,3], pred_t [B,3] (regressed translation — the reference's
+    final-pose convention, tools/trainer.py:197-199), pnp_t [B,3],
+    num_inliers [B], mean_err [B].
+    """
+    ev = cfg.eval
+    num_pnp_points = ev.num_pnp_points if num_pnp_points is None \
+        else num_pnp_points
+    pnp_hypotheses = ev.pnp_hypotheses if pnp_hypotheses is None \
+        else pnp_hypotheses
+    robust_refine = ev.robust_refine if robust_refine is None \
+        else robust_refine
+    refine_top_k = ev.refine_top_k if refine_top_k is None else refine_top_k
+    offset_decode = cfg.module.xyz_offset_decode
+    soft_decode = cfg.module.region_soft_decode
+
+    @jax.jit
+    def _model_fwd(params, batch_stats, batch):
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        out = model.apply(variables, batch["img"], batch["cloud"],
+                          batch["choose"], batch["cls"], train=False,
+                          opt_pose=True)
+        xyz_emb = out["xyz_emb"]
+        if offset_decode:
+            xyz_emb = xyz_emb + region_base_at_choose(out, batch,
+                                                      soft=soft_decode)
+        return xyz_emb, out["pred_t"]
+
+    @jax.jit
+    def _solve(xyz_emb, pred_t, batch, key):
+        n = batch["choose"].shape[1]
+        stride = max(n // num_pnp_points, 1)
+        sel = jnp.arange(num_pnp_points) * stride % n
+        pw = denormalize_xyz(xyz_emb[:, sel], batch["lf_border"],
+                             batch["extent"])
+        uv = batch["xy_choosed"][:, sel]
+        keys = jax.random.split(key, xyz_emb.shape[0])
+        pnp = jax.vmap(lambda kk, p, u, km: pnp_ransac(
+            kk, p, u, km, num_hypotheses=pnp_hypotheses, inlier_px=2.0,
+            robust_refine=robust_refine, refine_top_k=refine_top_k))(
+                keys, pw, uv, batch["k"])
+        return {"pred_r": pnp["r"], "pred_t": pred_t, "pnp_t": pnp["t"],
+                "num_inliers": pnp["num_inliers"],
+                "mean_err": pnp["mean_err"]}
+
+    def infer_step(params, batch, key, batch_stats=None):
+        xyz_emb, pred_t = _model_fwd(params, batch_stats, batch)
+        return _solve(xyz_emb, pred_t, batch, key)
+
+    return infer_step
