@@ -157,17 +157,22 @@ def main():
     params_from_cache = params is not None
 
     def fresh_init():
-        log("params cache miss; initializing on CPU backend")
-        with jax.default_device(cpu0) if cpu0 is not None else _nullctx():
-            variables = jax.jit(model.init, static_argnames="train")(
-                {"params": key},
-                jax.tree.map(lambda x: jnp.asarray(np.asarray(x)),
-                             batch["img"]),
-                jnp.asarray(np.asarray(batch["cloud"])),
-                jnp.asarray(np.asarray(batch["choose"])),
-                jnp.asarray(np.asarray(batch["cls"])), train=False)
+        # Synthesize params from eval_shape: abstract trace only, NO init
+        # program compiles anywhere (the init compile was the dominant
+        # cold-start cost: ~480 s through the relay, ~90-500 s even on
+        # the XLA:CPU insurance path). Values are irrelevant to a
+        # throughput bench and every solver loop is a fixed-length
+        # lax.scan, so random weights cannot change any trip count.
+        log("params cache miss; synthesizing from eval_shape (no compile)")
+        shapes = jax.eval_shape(
+            lambda: model.init({"params": key}, batch["img"],
+                               batch["cloud"], batch["choose"],
+                               batch["cls"], train=False))
+        rng = np.random.RandomState(0)
+        params_host = jax.tree.map(
+            lambda s: (rng.standard_normal(s.shape) * 0.02).astype(s.dtype),
+            shapes["params"])
         from pose_estimation_tpu.train.checkpoint import save_params_npz
-        params_host = jax.tree.map(np.asarray, variables["params"])
         save_params_npz(ppath, params_host)
         # ship to the default (TPU) backend in one transfer
         return jax.tree.map(jnp.asarray, params_host)

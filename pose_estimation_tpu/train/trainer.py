@@ -34,22 +34,47 @@ from pose_estimation_tpu.data.batching import (
 
 
 class MetricsLogger:
-    """JSONL + console logging (replaces per-epoch file loggers and the
-    TensorBoard SummaryWriter wiring, tools/trainer.py:109-131)."""
+    """JSONL (primary) + TensorBoard event mirror + console logging
+    (replaces per-epoch file loggers and the TensorBoard SummaryWriter
+    wiring, tools/trainer.py:109-131,273-279). Scalar payload entries are
+    mirrored into ``log_dir/tb/<name>`` as standard tfevents files
+    (utils/tb.py); non-scalar entries stay JSONL-only."""
 
-    def __init__(self, log_dir: str, name: str = "train"):
+    def __init__(self, log_dir: str, name: str = "train", tb: bool = True):
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, f"{name}.jsonl")
         self.f = open(self.path, "a")
+        self.tb = None
+        if tb:
+            from pose_estimation_tpu.utils.tb import EventWriter
+            self.tb = EventWriter(os.path.join(log_dir, "tb", name))
 
     def log(self, step: int, payload: dict, echo: bool = False):
+        def tofloat(v):
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                return float(v)
+            if getattr(v, "ndim", None) == 0:  # 0-d array scalar
+                return float(v)
+            return v  # strings / lists stay as-is (JSONL-only)
+
         rec = {"step": int(step), "time": time.time()}
-        rec.update({k: (float(v) if np.isscalar(v) or getattr(
-            v, "ndim", 1) == 0 else v) for k, v in payload.items()})
+        rec.update({k: tofloat(v) for k, v in payload.items()})
         self.f.write(json.dumps(rec) + "\n")
         self.f.flush()
+        if self.tb is not None:
+            for k, v in rec.items():
+                if k not in ("step", "time") and isinstance(v, float):
+                    self.tb.add_scalar(k, v, rec["step"])
+            self.tb.flush()
         if echo:
             print(json.dumps(rec))
+
+    def log_image(self, step: int, tag: str, img):
+        """Mirror an HWC uint8 image grid into the TB stream (the
+        reference's add_image at version/transparent/train.py:406)."""
+        if self.tb is not None:
+            self.tb.add_image(tag, np.asarray(img), int(step))
+            self.tb.flush()
 
 
 class Trainer:
@@ -199,10 +224,11 @@ class Trainer:
                 viz_dir = os.path.join(os.path.dirname(self.log.path), "viz")
                 os.makedirs(viz_dir, exist_ok=True)
                 try:
-                    save_eval_grid(
+                    grid = save_eval_grid(
                         os.path.join(viz_dir, f"epoch_{epoch:04d}.png"),
                         batch, np.asarray(out["pred_r"]),
                         np.asarray(out["pred_t"]))
+                    self.eval_log.log_image(epoch, "eval/pred_vs_gt", grid)
                 except Exception as e:  # viz is best-effort (needs cv2)
                     print(f"[trainer] eval viz skipped: {e}")
         summary = acc.summary()

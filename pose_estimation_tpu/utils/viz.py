@@ -108,7 +108,7 @@ def save_eval_grid(path: str, batch: dict, pred_r, pred_t,
         tiles.append(out)
     grid = np.concatenate(tiles, axis=1)
     cv2.imwrite(path, grid[..., ::-1])  # RGB -> BGR
-    return path
+    return grid  # RGB uint8, for mirroring into the TB image stream
 
 
 def draw_points(img: np.ndarray, points, r, t, k, color=(255, 0, 0)):
