@@ -164,15 +164,12 @@ def main():
         # throughput bench and every solver loop is a fixed-length
         # lax.scan, so random weights cannot change any trip count.
         log("params cache miss; synthesizing from eval_shape (no compile)")
-        shapes = jax.eval_shape(
+        from pose_estimation_tpu.train.checkpoint import (
+            save_params_npz, synthesize_params)
+        params_host = synthesize_params(
             lambda: model.init({"params": key}, batch["img"],
                                batch["cloud"], batch["choose"],
-                               batch["cls"], train=False))
-        rng = np.random.RandomState(0)
-        params_host = jax.tree.map(
-            lambda s: (rng.standard_normal(s.shape) * 0.02).astype(s.dtype),
-            shapes["params"])
-        from pose_estimation_tpu.train.checkpoint import save_params_npz
+                               batch["cls"], train=False))["params"]
         save_params_npz(ppath, params_host)
         # ship to the default (TPU) backend in one transfer
         return jax.tree.map(jnp.asarray, params_host)

@@ -79,11 +79,15 @@ def main(only: str = ""):
     batch = make_batch(ds, [i % len(ds) for i in range(bs)], key,
                        cfg.data.input_size, cfg.data.num_points)
 
-    # --- full model ---
+    # --- full model --- (random params via eval_shape: no init compile
+    # through the relay; values are timing-irrelevant, see
+    # checkpoint.synthesize_params)
+    from pose_estimation_tpu.train.checkpoint import synthesize_params
     model = KRRN(cfg=cfg, dtype=dtype)
-    variables = model.init({"params": key}, batch["img"], batch["cloud"],
-                           batch["choose"], batch["cls"], train=False)
-    params = variables["params"]
+    params = jax.tree.map(jnp.asarray, synthesize_params(
+        lambda: model.init({"params": key}, batch["img"], batch["cloud"],
+                           batch["choose"], batch["cls"],
+                           train=False))["params"])
     if want("model"): device_time(
         lambda img: model.apply({"params": params}, img, batch["cloud"],
                                 batch["choose"], batch["cls"], train=False,
@@ -99,7 +103,9 @@ def main(only: str = ""):
     hr = HRNet(backbone_outc=cfg.module.backbone_outc, stages=DEFAULT_STAGES,
                stem_width=cfg.module.stem_width, norm=cfg.module.norm,
                dtype=dtype)
-    hv = hr.init({"params": key}, batch["img"].astype(dtype), False)
+    hv = jax.tree.map(jnp.asarray, synthesize_params(
+        lambda: hr.init({"params": key}, batch["img"].astype(dtype),
+                        False)))
     if want("hrnet"): device_time(
         lambda img: hr.apply(hv, img.astype(dtype), False)[0],
         (batch["img"],), name="HRNet backbone")
@@ -111,7 +117,8 @@ def main(only: str = ""):
     verts = batch["cloud"].astype(jnp.float32)
     xyz_emb = jax.random.normal(key, (bs, n, 3))
     nml_emb = jax.random.normal(jax.random.fold_in(key, 1), (bs, n, 3))
-    fv = fus.init({"params": key}, verts, xyz_emb, nml_emb, False)
+    fv = jax.tree.map(jnp.asarray, synthesize_params(
+        lambda: fus.init({"params": key}, verts, xyz_emb, nml_emb, False)))
     if want("fusion"): device_time(lambda v, x, m: fus.apply(fv, v, x, m, False),
                 (verts, xyz_emb, nml_emb), name="FusionNetLite")
 

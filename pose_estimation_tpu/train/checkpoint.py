@@ -111,3 +111,22 @@ def load_params_npz(path: str) -> Any:
                 node = node.setdefault(p, {})
             node[parts[-1]] = jnp.asarray(z[key])
     return out
+
+
+def synthesize_params(init_fn, seed: int = 0) -> Any:
+    """Random host-side params matching ``jax.eval_shape(init_fn)``.
+
+    For benchmarks/profilers where param VALUES are irrelevant: shape
+    inference is an abstract trace (no XLA compile, no device dispatch),
+    while a real ``model.init`` through the TPU relay costs minutes
+    cold. Safe for timing because every solver loop in this framework is
+    a fixed-length ``lax.scan`` — values cannot change trip counts.
+    Returns numpy arrays; ship with ``jax.tree.map(jnp.asarray, ...)``.
+    """
+    import numpy as np
+
+    shapes = jax.eval_shape(init_fn)
+    rng = np.random.RandomState(seed)
+    return jax.tree.map(
+        lambda s: (rng.standard_normal(s.shape) * 0.02).astype(s.dtype),
+        shapes)
