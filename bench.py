@@ -52,14 +52,6 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 BASELINE_FPS = 11.6  # reference eval throughput (BASELINE.md)
 
 
-class _nullctx:
-    def __enter__(self):
-        return None
-
-    def __exit__(self, *a):
-        return False
-
-
 def log(msg):
     print(f"[bench +{time.perf_counter() - T0:.1f}s] {msg}",
           file=sys.stderr, flush=True)
@@ -136,7 +128,9 @@ def main():
         ds = SyntheticPoseDataset(num_objects=4, frames_per_object=8,
                                   num_regions=cfg.data.num_regions)
         idx = [i % len(ds) for i in range(batch_size)]
-        with jax.default_device(cpu0) if cpu0 is not None else _nullctx():
+        import contextlib
+        with (jax.default_device(cpu0) if cpu0 is not None
+              else contextlib.nullcontext()):
             batch = make_batch(ds, idx, key, cfg.data.input_size,
                                cfg.data.num_points)
         batch = {k: np.asarray(v) for k, v in batch.items()}
@@ -251,8 +245,17 @@ def main():
     # 7.3 s fetch on the same array), so only a host-side value forces
     # completion. The timed loop below therefore also ends with a fetch
     # of a scalar that data-depends on every iteration's output.
-    w0 = infer(params, batches[0], iter_keys[0])
-    w1 = infer(params, batches[1 % iters], iter_keys[1 % iters])
+    # Warm-up args must be DISTINCT from every timed iteration's args:
+    # the relay result-caches byte-identical (program, args) dispatches,
+    # so re-dispatching the warm-up tuples inside the timed loop would
+    # make those iterations free (~11% fps inflation at 20 iters, ~40%
+    # at BENCH_FAST's 5).
+    wb = [dict(batch, img=batch["img"] + nonce * (iters + 1 + j))
+          for j in range(2)]
+    wkeys = [jax.random.fold_in(key, iters + 7 + j + time.time_ns()
+                                % 100003) for j in range(2)]
+    w0 = infer(params, wb[0], wkeys[0])
+    w1 = infer(params, wb[1], wkeys[1])
     warm_acc = (w0[2] + w1[2]).sum()  # also compiles the reduction chain
     float(np.asarray(warm_acc))
     log("timing")

@@ -50,11 +50,22 @@ def _minimal_subsets(key: jax.Array, n: int, num: int, num_subsets: int,
     Replaces a per-hypothesis Gumbel top-k whose H sorts of n keys made
     the sampler ~30x the arithmetic of the EPnP solves it fed (measured
     62 ms -> see pnp_ransac caller — the eval program's hot stage)."""
-    g = jax.random.uniform(key, (n,), dtype=jnp.float32)
+    kperm, kstart = jax.random.split(key)
+    g = jax.random.uniform(kperm, (n,), dtype=jnp.float32)
     perm = jnp.argsort(jnp.where(mask > 0, g, jnp.inf))  # valid first
     n_valid = jnp.maximum((mask > 0).sum(), num)
-    pos = (jnp.arange(num_subsets)[:, None] * num
-           + jnp.arange(num)[None, :]) % n_valid
+    # Window starts: h*num while the window fits inside the valid prefix
+    # (disjoint, stratified); once windows would wrap, h*num mod n_valid
+    # aliases onto only n_valid/gcd(num, n_valid) distinct subsets (e.g.
+    # 48 valid -> 8 distinct of 64 requested), so wrapping hypotheses get
+    # independent random starts instead — ~min(H, n_valid) distinct
+    # subsets, each still duplicate-free (num consecutive positions mod
+    # n_valid >= num).
+    seq = jnp.arange(num_subsets) * num
+    rand = jax.random.randint(kstart, (num_subsets,), 0, jnp.int32(2**31 - 1)
+                              ) % n_valid
+    starts = jnp.where(seq + num <= n_valid, seq, rand)
+    pos = (starts[:, None] + jnp.arange(num)[None, :]) % n_valid
     return jnp.take(perm, pos, axis=0)
 
 

@@ -146,6 +146,7 @@ class LinemodBOPDataset:
         self.split = split
         self.num_regions = num_regions
         self.depth_scale = depth_scale
+        self.epoch = 0
         self.sym_ids = SYM_OBJ_IDS if sym_ids is None else sym_ids
         # yolov3 detection bboxes for eval crops instead of gt masks
         # (lm_bop.py:100-101,170) — gt-mask crops inflate eval accuracy.
@@ -222,6 +223,12 @@ class LinemodBOPDataset:
 
     def __len__(self):
         return len(self.index)
+
+    def set_epoch(self, epoch: int):
+        """DistributedSampler.set_epoch analog for augmentation: the
+        trainer calls this each epoch so per-sample RNG draws differ
+        across visits (subclass hooks fold self.epoch into their seed)."""
+        self.epoch = int(epoch)
 
     @property
     def objects_list(self):
@@ -304,6 +311,7 @@ class LinemodClassicDataset:
         self.add_noise = add_noise and mode == "train"
         self.noise_trans = noise_trans
         self.seed = seed
+        self.epoch = 0
         from pose_estimation_tpu.data.augment import BackgroundBank
         self.backgrounds = BackgroundBank(background_dir or None)
 
@@ -396,11 +404,21 @@ class LinemodClassicDataset:
         frame["mask"] = frame["mask"] & (depth > 0) & mask
         return frame
 
+    def set_epoch(self, epoch: int):
+        """Per-epoch reseed of augmentation draws (see BOP reader)."""
+        self.epoch = int(epoch)
+
     def __getitem__(self, i):
         cv2 = self._cv2
         kind, oid, ref = self.index[i]
         obj = self.objects[oid]
-        rng = np.random.RandomState(self.seed * 33331 + i)
+        # Fresh augmentation draws every visit (torchvision transforms
+        # re-sample per __getitem__ in the reference): fold the epoch set
+        # by the trainer into the per-sample seed, else jitter/noise/
+        # background collapse to one fixed draw per sample for the whole
+        # run.
+        rng = np.random.RandomState(
+            (self.seed * 33331 + self.epoch * 9176723 + i) % (2 ** 31))
         if kind == "real":
             cls_root = os.path.join(self.root, "data", f"{oid:02d}")
             im = int(ref)

@@ -83,7 +83,8 @@ class YCBVideoDataset(LinemodBOPDataset):
     def _post_frame(self, frame: dict, depth_full: np.ndarray, i: int,
                     sdir: str) -> dict:
         import os
-        rng = np.random.RandomState(self.seed * 77003 + i)
+        rng = np.random.RandomState(
+            (self.seed * 77003 + self.epoch * 9176723 + i) % (2 ** 31))
         parts = os.path.normpath(sdir).split(os.sep)
         if "train_synt" in parts:
             # synthetic renders have empty backgrounds; keep every

@@ -105,6 +105,34 @@ class PerObjectAccumulator:
         for c, d in zip(cls_ids, np.asarray(metrics["add_dis"]).reshape(-1)):
             self.dis_all[c].append(float(d))
 
+    def all_reduce_across_processes(self):
+        """Merge shard-local accumulators across jax processes.
+
+        Multi-host eval shards the test set per process (disjoint
+        eval_indices shards); summary() must then see the union. No-op
+        single-process. Ragged per-class distance lists (AUC inputs) are
+        NaN-padded to the global max length for the allgather.
+        """
+        import jax
+        if jax.process_count() == 1:
+            return self
+        from jax.experimental import multihost_utils as mh
+        self.count = np.asarray(mh.process_allgather(self.count)).sum(0)
+        self.sums = {k: np.asarray(mh.process_allgather(v)).sum(0)
+                     for k, v in self.sums.items()}
+        lens = np.array([len(d) for d in self.dis_all], np.int32)
+        all_lens = np.asarray(mh.process_allgather(lens))       # [P, C]
+        m = max(int(all_lens.max()), 1)
+        pad = np.full((self.num_cls, m), np.nan, np.float32)
+        for c, d in enumerate(self.dis_all):
+            pad[c, :len(d)] = d
+        gathered = np.asarray(mh.process_allgather(pad))        # [P, C, m]
+        self.dis_all = [
+            [float(x) for p in range(gathered.shape[0])
+             for x in gathered[p, c, :all_lens[p, c]]]
+            for c in range(self.num_cls)]
+        return self
+
     def summary(self) -> dict:
         cnt = np.maximum(self.count, 1)
         per_obj = {

@@ -79,13 +79,25 @@ class ConvLayer(nn.Module):
         dirs = safe_normalize(directions, axis=0, eps=1e-12)
         nd = _unit_directions(vertices, neighbor_index)
 
-        feat = (feature_map.astype(self.dtype) @ weights.astype(self.dtype)
-                + bias.astype(self.dtype))
-        center = feat[..., :o]
-        support = feat[..., o:]                                  # [b,n,s*o]
-        from pose_estimation_tpu.ops.pallas_gcn import gcn_aggregate
-        agg = gcn_aggregate(nd, dirs, support, neighbor_index,
-                            s).astype(self.dtype)
+        x = feature_map.astype(self.dtype)
+        w = weights.astype(self.dtype)
+        bb = bias.astype(self.dtype)
+        if in_ch < s * o:
+            # Narrow input: gather X then transform (identical math,
+            # ~4x fewer flops at the level-0 shapes — see
+            # ops.pallas_gcn.gcn_aggregate_linear).
+            from pose_estimation_tpu.ops.pallas_gcn import (
+                gcn_aggregate_linear)
+            center = x @ w[:, :o] + bb[:o]
+            agg = gcn_aggregate_linear(nd, dirs, x, w[:, o:], bb[o:],
+                                       neighbor_index, s).astype(self.dtype)
+        else:
+            feat = x @ w + bb
+            center = feat[..., :o]
+            support = feat[..., o:]                              # [b,n,s*o]
+            from pose_estimation_tpu.ops.pallas_gcn import gcn_aggregate
+            agg = gcn_aggregate(nd, dirs, support, neighbor_index,
+                                s).astype(self.dtype)
         return center + agg
 
 

@@ -12,11 +12,16 @@ identical dispatches):
   naive XLA (materialize [B,N,K,S*O] theta + gathered F)   10.4 ms
   hand Pallas kernel, MXU dot / VPU FMA formulations       12.8 / 14.8 ms
   k-unrolled with per-k take_along_axis gathers            10.0 ms
-  k-unrolled with per-k ONE-HOT MATMUL gathers              4.8 ms  <-- used
+  k-unrolled, ONE-HOT gather of the WIDE support table      5.7 ms
+  one-hot gather of the NARROW input, transform after       4.1 ms  <-- used
+  narrow take_along_axis (per-k / all-k)                    6.2 / 6.7 ms
 
 Random-access gather is ~7x off peak HBM bandwidth on TPU; casting the
-gather as `onehot(idx) @ F` streams on the MXU instead (60 GFLOP per
-neighbor slot at these shapes — FLOPs are cheaper than random access).
+gather as `onehot(idx) @ X` streams on the MXU instead — FLOPs are
+cheaper than random access. Because the support table is a LINEAR map
+of the inputs, the gather can run on the narrow input (Cin=128) with
+the (s+1)*O transform applied post-gather: identical math at 161 vs
+600 GFLOP (gcn_aggregate_linear; ConvLayer picks it when Cin < S*O).
 Peak intermediate is one [B,N,S*O] slab (59 MB), never [B,N,K,S*O].
 
 The Pallas kernel variants are retained behind POSE_TPU_PALLAS_GCN=1 for
@@ -57,6 +62,47 @@ def gcn_aggregate(nd, dirs, feats, idx, support_num: int):
             feats[:, :, None, :], idx[..., None], axis=1))
         return _gcn_aggregate_fwd_pallas(nd, dirs, fg, support_num)
     return _fwd_xla(nd, dirs, feats, idx, support_num)
+
+
+def gcn_aggregate_linear(nd, dirs, x, w_support, b_support,
+                         idx, support_num: int):
+    """ConvLayer aggregate with the support transform applied AFTER the
+    neighbor gather: out[b,n,o] = sum_s max_k relu(nd.dirs)[k,s,o] *
+    (X[nbr(n,k)] @ W + b)[s,o].
+
+    Identical math to pre-transforming X at all M points and gathering
+    the S*O-wide table (one-hot row selection commutes with the linear
+    map), but the gather runs on the NARROW input (Cin) instead of the
+    wide support table: at B=32, N=M=1024, K=10, Cin=128, S*O=896 the
+    per-slot one-hot matmul drops from 60 to 8.6 GFLOP and the per-slot
+    transform adds only 7.5 — 161 vs 600 GFLOP total for the measured
+    5.7 ms hot aggregate of FusionNetLite's level-0 convs. Only called
+    when Cin < S*O (ConvLayer picks the formulation).
+    """
+    dtype = x.dtype
+    b, n, k, _ = nd.shape
+    m = x.shape[1]
+    nd = nd.astype(dtype)
+    dirs = dirs.astype(dtype)
+    w_support = w_support.astype(dtype)
+    b_support = b_support.astype(dtype)
+    s = support_num
+    so = w_support.shape[-1]
+    use_onehot = (m <= _ONEHOT_MAX_N and jax.default_backend() == "tpu")
+    if use_onehot:
+        iota = jnp.arange(m)
+    acc = None
+    for kk in range(k):
+        theta = jax.nn.relu(jnp.einsum("bnd,dm->bnm", nd[:, :, kk], dirs))
+        if use_onehot:
+            onehot = (idx[:, :, kk, None] == iota[None, None, :]
+                      ).astype(dtype)
+            xg = jnp.einsum("bnm,bmc->bnc", onehot, x)
+        else:
+            xg = jnp.take_along_axis(x, idx[:, :, kk:kk + 1], axis=1)
+        theta = theta * (xg @ w_support + b_support)
+        acc = theta if acc is None else jnp.maximum(acc, theta)
+    return acc.reshape(b, n, s, so // s).sum(axis=2).astype(jnp.float32)
 
 
 def _fwd_xla(nd, dirs, feats, idx, support_num):

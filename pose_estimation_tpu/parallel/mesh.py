@@ -87,6 +87,17 @@ def data_axis_size(mesh: Mesh) -> int:
     return mesh.shape.get("dcn", 1) * mesh.shape["data"]
 
 
+def local_rows(x) -> np.ndarray:
+    """Host-read the rows of a batch-sharded global array that THIS
+    process owns (the inverse of make_array_from_process_local_data).
+    Fully-addressable arrays (single-process) read whole."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    shards = sorted(x.addressable_shards,
+                    key=lambda s: (s.index[0].start or 0))
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
 def shard_batch(mesh: Mesh, batch):
     """Place a host batch pytree onto the mesh, batch-sharded.
 
@@ -102,6 +113,21 @@ def shard_batch(mesh: Mesh, batch):
     sh = batch_sharding(mesh)
     rep = replicated(mesh)
     fallback = []
+
+    if jax.process_count() > 1:
+        # Multi-host: each process holds a DIFFERENT host batch (its
+        # disjoint sampler shard) that is its local slice of the global
+        # batch — device_put would wrongly assume one identical global
+        # value on every process. Assemble the true global array instead:
+        # global leading dim = local_bs * process_count, rows owned by
+        # the process whose mesh devices they shard onto.
+        def place_global(x):
+            if getattr(x, "ndim", 0) >= 1:
+                return jax.make_array_from_process_local_data(
+                    sh, np.asarray(x))
+            return jax.device_put(x, rep)  # scalars: identical everywhere
+
+        return jax.tree.map(place_global, batch)
 
     def place(x):
         ndim = getattr(x, "ndim", 0)

@@ -173,6 +173,52 @@ def build_train_step(model, tx, cfg: Config) -> Callable:
     return train_step
 
 
+def _resolve_eval_solver(cfg: Config, num_pnp_points, pnp_hypotheses,
+                         robust_refine, refine_top_k):
+    """cfg.eval defaults with explicit-kwarg overrides (ablations)."""
+    ev = cfg.eval
+    return (ev.num_pnp_points if num_pnp_points is None else num_pnp_points,
+            ev.pnp_hypotheses if pnp_hypotheses is None else pnp_hypotheses,
+            ev.robust_refine if robust_refine is None else robust_refine,
+            ev.refine_top_k if refine_top_k is None else refine_top_k)
+
+
+def _decoded_xyz_and_t(model, cfg: Config, variables, batch):
+    """Traced model forward + optional region decode — the ONE
+    definition both the eval and the serving program compile, so the
+    'same programs minus metrics' guarantee can't drift."""
+    out = model.apply(variables, batch["img"], batch["cloud"],
+                      batch["choose"], batch["cls"], train=False,
+                      opt_pose=True)
+    xyz_emb = out["xyz_emb"]
+    if cfg.module.xyz_offset_decode:
+        # Region-decoded coordinates: absolute = offset + region center
+        # at chosen pixels. Soft (default): a pixel whose region
+        # posterior straddles a boundary decodes to the blend, not a
+        # hard snap to the argmax cell.
+        xyz_emb = xyz_emb + region_base_at_choose(
+            out, batch, soft=cfg.module.region_soft_decode)
+    return xyz_emb, out["pred_t"]
+
+
+def _solve_pnp(xyz_emb, pred_t, batch, key, *, num_pnp_points: int,
+               pnp_hypotheses: int, robust_refine: bool, refine_top_k: int):
+    """Traced pose recovery: strided subset of the chosen pixels
+    (reference uses 256 random; trainer.py:406-408), denormalize,
+    vmapped PnP-RANSAC. Shared by eval + serving."""
+    n = batch["choose"].shape[1]
+    stride = max(n // num_pnp_points, 1)
+    sel = jnp.arange(num_pnp_points) * stride % n
+    pw = denormalize_xyz(xyz_emb[:, sel], batch["lf_border"],
+                         batch["extent"])
+    uv = batch["xy_choosed"][:, sel]                      # [B, P, 2]
+    keys = jax.random.split(key, xyz_emb.shape[0])
+    return jax.vmap(lambda kk, p, u, km: pnp_ransac(
+        kk, p, u, km, num_hypotheses=pnp_hypotheses, inlier_px=2.0,
+        robust_refine=robust_refine, refine_top_k=refine_top_k))(
+            keys, pw, uv, batch["k"])
+
+
 def build_eval_step(model, cfg: Config, num_pnp_points: int | None = None,
                     pnp_hypotheses: int | None = None,
                     robust_refine: bool | None = None,
@@ -187,17 +233,10 @@ def build_eval_step(model, cfg: Config, num_pnp_points: int | None = None,
     Solver settings default to cfg.eval (the measured-best operating
     point); explicit kwargs override for ablations/sweeps.
     """
-    ev = cfg.eval
-    num_pnp_points = ev.num_pnp_points if num_pnp_points is None \
-        else num_pnp_points
-    pnp_hypotheses = ev.pnp_hypotheses if pnp_hypotheses is None \
-        else pnp_hypotheses
-    robust_refine = ev.robust_refine if robust_refine is None \
-        else robust_refine
-    refine_top_k = ev.refine_top_k if refine_top_k is None else refine_top_k
+    num_pnp_points, pnp_hypotheses, robust_refine, refine_top_k = \
+        _resolve_eval_solver(cfg, num_pnp_points, pnp_hypotheses,
+                             robust_refine, refine_top_k)
     use_bn = cfg.module.norm == "bn"
-    offset_decode = cfg.module.xyz_offset_decode
-    soft_decode = cfg.module.region_soft_decode
 
     # Two compiled programs: fusing the conv model with the solver into one
     # XLA program degrades the v5e schedule ~10x (see bench.py note).
@@ -206,38 +245,15 @@ def build_eval_step(model, cfg: Config, num_pnp_points: int | None = None,
         variables = {"params": state.params}
         if use_bn:
             variables["batch_stats"] = state.batch_stats
-        out = model.apply(variables, batch["img"], batch["cloud"],
-                          batch["choose"], batch["cls"], train=False,
-                          opt_pose=True)
-        xyz_emb = out["xyz_emb"]
-        if offset_decode:
-            # Region-decoded coordinates: absolute = offset + region
-            # center at chosen pixels. Soft (default): a pixel whose
-            # region posterior straddles a boundary decodes to the blend,
-            # not a hard snap to the argmax cell.
-            xyz_emb = xyz_emb + region_base_at_choose(out, batch,
-                                                      soft=soft_decode)
-        return xyz_emb, out["pred_t"]
+        return _decoded_xyz_and_t(model, cfg, variables, batch)
 
     @jax.jit
     def _pose_recovery(xyz_emb, pred_t, batch, key):
-        b = xyz_emb.shape[0]
-        # subset of chosen pixels for PnP (reference uses 256 random;
-        # trainer.py:406-408) — take a strided deterministic subset.
-        n = batch["choose"].shape[1]
-        stride = max(n // num_pnp_points, 1)
-        sel = jnp.arange(num_pnp_points) * stride % n
-
-        pw = denormalize_xyz(xyz_emb[:, sel], batch["lf_border"],
-                             batch["extent"])
-        uv = batch["xy_choosed"][:, sel]                  # [B, P, 2]
-
-        keys = jax.random.split(key, b)
-        solve = jax.vmap(lambda kk, p, u, km: pnp_ransac(
-            kk, p, u, km, num_hypotheses=pnp_hypotheses, inlier_px=2.0,
-            robust_refine=robust_refine, refine_top_k=refine_top_k))
-        pnp = solve(keys, pw, uv, batch["k"])
-
+        pnp = _solve_pnp(xyz_emb, pred_t, batch, key,
+                         num_pnp_points=num_pnp_points,
+                         pnp_hypotheses=pnp_hypotheses,
+                         robust_refine=robust_refine,
+                         refine_top_k=refine_top_k)
         pred_r = pnp["r"]
         acc = pose_accuracy(pred_r, pred_t, batch["target_r"],
                             batch["target_t"], batch["model_points"],
@@ -274,44 +290,24 @@ def build_infer_step(model, cfg: Config, num_pnp_points: int | None = None,
     final-pose convention, tools/trainer.py:197-199), pnp_t [B,3],
     num_inliers [B], mean_err [B].
     """
-    ev = cfg.eval
-    num_pnp_points = ev.num_pnp_points if num_pnp_points is None \
-        else num_pnp_points
-    pnp_hypotheses = ev.pnp_hypotheses if pnp_hypotheses is None \
-        else pnp_hypotheses
-    robust_refine = ev.robust_refine if robust_refine is None \
-        else robust_refine
-    refine_top_k = ev.refine_top_k if refine_top_k is None else refine_top_k
-    offset_decode = cfg.module.xyz_offset_decode
-    soft_decode = cfg.module.region_soft_decode
+    num_pnp_points, pnp_hypotheses, robust_refine, refine_top_k = \
+        _resolve_eval_solver(cfg, num_pnp_points, pnp_hypotheses,
+                             robust_refine, refine_top_k)
 
     @jax.jit
     def _model_fwd(params, batch_stats, batch):
         variables = {"params": params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
-        out = model.apply(variables, batch["img"], batch["cloud"],
-                          batch["choose"], batch["cls"], train=False,
-                          opt_pose=True)
-        xyz_emb = out["xyz_emb"]
-        if offset_decode:
-            xyz_emb = xyz_emb + region_base_at_choose(out, batch,
-                                                      soft=soft_decode)
-        return xyz_emb, out["pred_t"]
+        return _decoded_xyz_and_t(model, cfg, variables, batch)
 
     @jax.jit
     def _solve(xyz_emb, pred_t, batch, key):
-        n = batch["choose"].shape[1]
-        stride = max(n // num_pnp_points, 1)
-        sel = jnp.arange(num_pnp_points) * stride % n
-        pw = denormalize_xyz(xyz_emb[:, sel], batch["lf_border"],
-                             batch["extent"])
-        uv = batch["xy_choosed"][:, sel]
-        keys = jax.random.split(key, xyz_emb.shape[0])
-        pnp = jax.vmap(lambda kk, p, u, km: pnp_ransac(
-            kk, p, u, km, num_hypotheses=pnp_hypotheses, inlier_px=2.0,
-            robust_refine=robust_refine, refine_top_k=refine_top_k))(
-                keys, pw, uv, batch["k"])
+        pnp = _solve_pnp(xyz_emb, pred_t, batch, key,
+                         num_pnp_points=num_pnp_points,
+                         pnp_hypotheses=pnp_hypotheses,
+                         robust_refine=robust_refine,
+                         refine_top_k=refine_top_k)
         return {"pred_r": pnp["r"], "pred_t": pred_t, "pnp_t": pnp["t"],
                 "num_inliers": pnp["num_inliers"],
                 "mean_err": pnp["mean_err"]}

@@ -65,7 +65,15 @@ def main(argv=None):
 
     # Params: npz file > orbax checkpoint > fresh init (smoke mode).
     batch_stats = None
+    if args.params and args.ckpt:
+        raise SystemExit("--params and --ckpt are mutually exclusive; "
+                         "pass one source of weights")
     if args.params:
+        if cfg.module.norm == "bn":
+            raise SystemExit(
+                "--params npz carries no batch_stats; a BatchNorm-parity "
+                "config (module.norm='bn') needs the full train state — "
+                "use --ckpt <orbax dir> instead")
         from pose_estimation_tpu.train.checkpoint import load_params_npz
         params = load_params_npz(args.params)
     else:

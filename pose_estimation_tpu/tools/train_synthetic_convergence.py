@@ -298,13 +298,23 @@ def main(argv=None):
             ablation=args.eval_ablation, capacity=capacity,
             eval_from_ckpt=args.eval_from_ckpt))
 
-    if args.append and os.path.isfile(args.out):
-        with open(args.out) as f:
-            results = json.load(f)
-    results["variants"] = merge_variants(results.get("variants", []),
-                                         produced)
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=2)
+    # Exclusive lock across the read->merge->write so two single-variant
+    # processes finishing together can't each rebuild from pre-merge
+    # contents and erase the other's entry (the 7e0ef26 race, which
+    # merge_variants alone only narrowed); write via rename so readers
+    # never see a torn file.
+    import fcntl
+    with open(args.out + ".lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        if args.append and os.path.isfile(args.out):
+            with open(args.out) as f:
+                results = json.load(f)
+        results["variants"] = merge_variants(results.get("variants", []),
+                                             produced)
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(results, f, indent=2)
+        os.replace(tmp, args.out)
     print(json.dumps({v["variant"]: v["overall"]
                       for v in results["variants"]}, indent=2))
 

@@ -22,7 +22,7 @@ from pose_estimation_tpu.configs.schema import Config
 from pose_estimation_tpu.metrics.metric import PerObjectAccumulator
 from pose_estimation_tpu.models.krrn import KRRN
 from pose_estimation_tpu.parallel.mesh import (
-    make_mesh, replicated, shard_batch)
+    local_rows, make_mesh, replicated, shard_batch)
 from pose_estimation_tpu.parallel.train_step import (
     build_eval_step, build_train_step)
 from pose_estimation_tpu.train.checkpoint import CheckpointManager
@@ -92,7 +92,11 @@ class Trainer:
         self.shard_index = jax.process_index()
         self.model = model or KRRN(
             cfg=cfg, dtype=jnp.bfloat16 if cfg.train.amp else jnp.float32)
-        steps_per_epoch = max(1, len(dataset) // cfg.train.batch_size)
+        # LR-anneal horizon = the steps THIS process will actually run:
+        # per-process disjoint shards mean len(dataset)/shard_count
+        # samples per epoch each.
+        steps_per_epoch = max(
+            1, len(dataset) // (cfg.train.batch_size * self.shard_count))
         self.tx = make_optimizer(
             cfg, total_steps=steps_per_epoch * cfg.train.num_epoch)
         self.train_step = build_train_step(self.model, self.tx, cfg)
@@ -150,6 +154,8 @@ class Trainer:
 
     def train_epoch(self, epoch: int, steps: int | None = None):
         cfg = self.cfg
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)  # fresh augmentation draws
         key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), epoch)
         batches = epoch_indices(key, len(self.dataset), cfg.train.batch_size,
                                 shard_count=self.shard_count,
@@ -199,8 +205,12 @@ class Trainer:
         # scores exactly once (the reference walks the whole test loader,
         # tools/trainer.py:145-368; the old shuffled epoch_indices dropped
         # up to batch_size-1 samples per eval).
+        # Multi-host: disjoint per-process shards (merged below); the
+        # single-process default is shard 0 of 1 = the full set.
         batches, valid = eval_indices(len(self.test_dataset),
-                                      cfg.train.batch_size)
+                                      cfg.train.batch_size,
+                                      shard_count=self.shard_count,
+                                      shard_index=self.shard_index)
         if max_batches is not None:
             batches, valid = batches[:max_batches], valid[:max_batches]
         # prefetched: host batch assembly (decode + splat label regen)
@@ -214,9 +224,11 @@ class Trainer:
             out = self.eval_step(self.state, batch,
                                  jax.random.fold_in(key, bi))
             keep = valid[bi]
-            acc.update(np.asarray(batch["cls"])[keep],
-                       {k: np.asarray(v)[keep] for k, v in out.items()
-                        if np.asarray(v).ndim == 1})
+            # local_rows: this process's rows of the (possibly global)
+            # batch — aligned with its shard of the sampler indices.
+            acc.update(local_rows(batch["cls"])[keep],
+                       {k: local_rows(v)[keep] for k, v in out.items()
+                        if getattr(v, "ndim", 0) == 1})
             if bi == 0 and cfg.train.eval_viz:
                 # pred-vs-gt overlay grid per test epoch
                 # (version/transparent/train.py:310-317,375-406 analog)
@@ -231,6 +243,7 @@ class Trainer:
                     self.eval_log.log_image(epoch, "eval/pred_vs_gt", grid)
                 except Exception as e:  # viz is best-effort (needs cv2)
                     print(f"[trainer] eval viz skipped: {e}")
+        acc.all_reduce_across_processes()  # no-op single-process
         summary = acc.summary()
         mean_dis = summary["overall"].get("add_dis", float("inf"))
         self.eval_log.log(int(self.state.step),

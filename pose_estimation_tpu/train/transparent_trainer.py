@@ -160,7 +160,8 @@ class TransparentTrainer:
                     num_points=cfg.data.num_points,
                     num_obj=cfg.module.num_cls, dtype=dtype)
         self.model = model
-        steps_per_epoch = max(1, len(dataset) // cfg.train.batch_size)
+        steps_per_epoch = max(
+            1, len(dataset) // (cfg.train.batch_size * self.shard_count))
         self.tx = make_optimizer(
             cfg, total_steps=steps_per_epoch * cfg.train.num_epoch)
         lw = cfg.train.loss
@@ -223,6 +224,8 @@ class TransparentTrainer:
         from pose_estimation_tpu.data.batching import epoch_indices
         from pose_estimation_tpu.data.prefetch import Prefetcher
         cfg = self.cfg
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)  # fresh augmentation draws
         key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), epoch)
         batches = epoch_indices(key, len(self.dataset), cfg.train.batch_size,
                                 shard_count=self.shard_count,
@@ -266,7 +269,9 @@ class TransparentTrainer:
         # Deterministic full coverage with final-batch padding masked out
         # (same rationale as Trainer.test_epoch).
         batches, valid = eval_indices(len(self.test_dataset),
-                                      cfg.train.batch_size)
+                                      cfg.train.batch_size,
+                                      shard_count=self.shard_count,
+                                      shard_index=self.shard_index)
         if max_batches is not None:
             batches, valid = batches[:max_batches], valid[:max_batches]
 
@@ -274,20 +279,22 @@ class TransparentTrainer:
             for bi, idx in enumerate(batches):
                 yield self._batch(idx, seed=epoch * 131 + bi + 7777)
 
+        from pose_estimation_tpu.parallel.mesh import local_rows
         for bi, batch in enumerate(Prefetcher(gen())):
             sbatch = shard_batch(self.mesh, batch)
             out = self.eval_step(self.state, sbatch)
             keep = valid[bi]
             cls = np.asarray(batch["obj"]).reshape(-1)[keep]
-            dis = np.asarray(out["add_dis"]).reshape(-1)[keep]
+            dis = local_rows(out["add_dis"]).reshape(-1)[keep]
             ok = (dis < 0.1 * self._diameters[cls]).astype(np.float32)
             metrics = {"add_dis": dis, "add_ok": ok}
             if "add_dis_icp" in out:
-                dis_i = np.asarray(out["add_dis_icp"]).reshape(-1)[keep]
+                dis_i = local_rows(out["add_dis_icp"]).reshape(-1)[keep]
                 metrics["add_dis_icp"] = dis_i
                 metrics["add_ok_icp"] = (
                     dis_i < 0.1 * self._diameters[cls]).astype(np.float32)
             acc.update(cls, metrics)
+        acc.all_reduce_across_processes()  # no-op single-process
         summary = acc.summary()
         mean_dis = summary["overall"].get("add_dis", float("inf"))
         self.eval_log.log(int(self.state.step),

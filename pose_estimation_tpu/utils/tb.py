@@ -59,6 +59,11 @@ def _masked_crc(data: bytes) -> int:
 # ------------------------------------------------------- proto encoding
 
 def _varint(n: int) -> bytes:
+    if n < 0:
+        # proto varints are unsigned; negative int64 takes the 10-byte
+        # two's-complement form (and would otherwise loop forever on
+        # Python's arithmetic shift)
+        n &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = n & 0x7F

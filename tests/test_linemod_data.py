@@ -182,6 +182,24 @@ class TestClassicReader:
         f0 = ds0[0]
         assert not np.allclose(f["rgb"], f0["rgb"])
 
+    def test_augmentation_redraws_each_epoch(self, classic_tree):
+        """set_epoch must change the jitter/noise draws (the reference's
+        torchvision transforms re-sample every visit); same epoch must
+        stay deterministic."""
+        from pose_estimation_tpu.data.linemod import LinemodClassicDataset
+        root, objs = classic_tree
+        ds = LinemodClassicDataset(root, mode="train", cls_type="all",
+                                   num_regions=16, num_syn=2,
+                                   add_noise=True, noise_trans=0.03)
+        f_e0 = ds[0]
+        ds.set_epoch(1)
+        f_e1 = ds[0]
+        assert not np.allclose(f_e0["rgb"], f_e1["rgb"])
+        assert not np.allclose(f_e0["t_noise"], f_e1["t_noise"])
+        ds.set_epoch(0)
+        f_e0b = ds[0]
+        assert np.allclose(f_e0["rgb"], f_e0b["rgb"])
+
     def test_dispatch_picks_classic(self, classic_tree, bop_tree):
         from pose_estimation_tpu.data.linemod import (
             LinemodBOPDataset, LinemodClassicDataset, LinemodDataset)

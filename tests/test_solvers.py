@@ -241,6 +241,22 @@ class TestRansacSampling:
         flat = ids[:10].reshape(-1)[: (64 // 6) * 6]
         assert len(set(flat.tolist())) == len(flat)
 
+    def test_minimal_subsets_wrap_diversity(self, key):
+        """Wrapping hypotheses must NOT alias onto n_valid/gcd(6,n_valid)
+        windows (48 valid once gave only 8 distinct subsets of 64): with
+        random starts past the disjoint prefix, distinct subsets should
+        approach min(H, n_valid)."""
+        from pose_estimation_tpu.core.solvers.pnp import _minimal_subsets
+        import jax
+        for n_valid, floor in ((48, 30), (12, 8), (18, 12)):
+            mask = np.zeros(256, np.float32)
+            mask[:n_valid] = 1.0
+            ids = np.asarray(_minimal_subsets(
+                jax.random.fold_in(key, n_valid), 256, 6, 64,
+                jnp.asarray(mask)))
+            distinct = len({tuple(sorted(r.tolist())) for r in ids})
+            assert distinct >= floor, (n_valid, distinct)
+
     def test_refine_top_k_multi_start(self, rng, key):
         """LM-refining the top-4 hypotheses and keeping the lowest
         common-objective candidate must match or beat winner-only
