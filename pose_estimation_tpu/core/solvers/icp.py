@@ -70,3 +70,27 @@ def icp_refine(src: jax.Array, dst: jax.Array, r0: jax.Array, t0: jax.Array,
 
     (r, t), residuals = jax.lax.scan(step, (r0, t0), None, length=iters)
     return r, t, residuals[-1]
+
+
+def trimmed_residual(src: jax.Array, dst: jax.Array, r: jax.Array,
+                     t: jax.Array, trim_fraction: float = 0.0) -> jax.Array:
+    """Trimmed dst->src nearest-neighbor residual of a GIVEN pose [B].
+
+    The same objective icp_refine descends, evaluated at an arbitrary
+    pose with fresh correspondences — the scorer for accept-if-better
+    refinement gating: both the direct regressed pose and the ICP-refined
+    pose are measured under this one objective and the better kept
+    (build_transparent_eval_step). Mirrors icp_refine's correspondence
+    direction and soft-trim exactly.
+    """
+    m = dst.shape[1]
+    keep = m - int(trim_fraction * m)
+    moved = transform_points(src, r, t)                  # [B,N,3]
+    d = pairwise_sqdist(dst, moved)                      # [B,M,N]
+    nn_d = jnp.sqrt(jnp.maximum(jnp.min(d, axis=-1), 0.0))
+    if trim_fraction > 0.0:
+        thresh = jnp.sort(nn_d, axis=-1)[:, keep - 1][:, None]
+        w = (nn_d <= thresh).astype(src.dtype)
+    else:
+        w = jnp.ones_like(nn_d)
+    return (w * nn_d).sum(-1) / jnp.maximum(w.sum(-1), 1)

@@ -95,7 +95,14 @@ def epoch_indices(key, num_samples: int, batch_size: int, shard_count: int = 1,
     sample."""
     perm = np.asarray(jax.random.permutation(key, num_samples))
     perm = perm[shard_index::shard_count]
-    n_batches = len(perm) // batch_size
+    # Every shard must run the SAME number of batches: each batch enters a
+    # collective SPMD program, so a process with one extra batch would call
+    # it alone and deadlock the cluster (shard lengths differ by 1 when
+    # num_samples % shard_count != 0, and that extra sample crosses a
+    # batch boundary for ~many (n, bs, shards) configs). Agree on
+    # min-over-shards = floor(num_samples/shard_count) batches — computed
+    # identically on every process with no communication.
+    n_batches = (num_samples // shard_count) // batch_size
     return perm[: n_batches * batch_size].reshape(n_batches, batch_size)
 
 
@@ -110,7 +117,13 @@ def eval_indices(num_samples: int, batch_size: int, shard_count: int = 1,
     epoch_indices silently skipped up to batch_size-1 samples per eval.
     """
     ids = np.arange(num_samples)[shard_index::shard_count]
-    n_batches = max(1, -(-len(ids) // batch_size))
+    # Same number of batches on EVERY shard (see epoch_indices): eval
+    # batches also enter collective programs, so the count is agreed as
+    # max-over-shards = ceil(ceil(num_samples/shard_count)/batch_size);
+    # shorter shards run extra all-padding (valid=False) batches that the
+    # metric accumulator drops.
+    longest = -(-num_samples // max(shard_count, 1))
+    n_batches = max(1, -(-longest // batch_size))
     pad = n_batches * batch_size - len(ids)
     valid = np.concatenate([np.ones(len(ids), bool), np.zeros(pad, bool)])
     ids = np.concatenate([ids, np.zeros(pad, ids.dtype)])

@@ -17,10 +17,15 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from pose_estimation_tpu.core.pointops.neighbors import pairwise_sqdist
+
+
+def _pvary(x, axis):
+    """pcast-to-varying (jax.lax.pvary deprecated; jax >= 0.7 spelling)."""
+    return jax.lax.pcast(x, axis, to="varying")
 
 
 def ring_min_dists(mesh: Mesh, axis: str = "data"):
@@ -44,7 +49,7 @@ def ring_min_dists(mesh: Mesh, axis: str = "data"):
                 [(j, (j + 1) % d) for j in range(d)])
             return best, src_blk
 
-        init = jax.lax.pvary(
+        init = _pvary(
             jnp.full((tgt.shape[0],), jnp.inf, tgt.dtype), axis)
         best, _ = jax.lax.fori_loop(0, d, body, (init, src))
         # eps^2 clamp inside the sqrt: grad-safe at coincident points
@@ -89,9 +94,9 @@ def ring_knn(mesh: Mesh, k: int, axis: str = "data"):
                 blk_owner, axis, [(j, (j + 1) % d) for j in range(d)])
             return best_d, best_i, blk, blk_owner
 
-        init = (jax.lax.pvary(jnp.full((n_local, k), jnp.inf, pts.dtype),
+        init = (_pvary(jnp.full((n_local, k), jnp.inf, pts.dtype),
                               axis),
-                jax.lax.pvary(jnp.zeros((n_local, k), jnp.int32), axis),
+                _pvary(jnp.zeros((n_local, k), jnp.int32), axis),
                 pts, my)
         best_d, best_i, _, _ = jax.lax.fori_loop(0, d, body, init)
         return jnp.sqrt(jnp.maximum(

@@ -40,16 +40,23 @@ class MetricsLogger:
     mirrored into ``log_dir/tb/<name>`` as standard tfevents files
     (utils/tb.py); non-scalar entries stay JSONL-only."""
 
-    def __init__(self, log_dir: str, name: str = "train", tb: bool = True):
+    def __init__(self, log_dir: str, name: str = "train", tb: bool = True,
+                 enabled: bool = True):
+        # enabled=False: the rank-0-only convention under multi-host — the
+        # reference logs/TBs from rank 0 alone (train.py:721,832-835);
+        # non-primary processes keep the same API but write nothing.
+        self.enabled = enabled
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, f"{name}.jsonl")
-        self.f = open(self.path, "a")
+        self.f = open(self.path, "a") if enabled else None
         self.tb = None
-        if tb:
+        if tb and enabled:
             from pose_estimation_tpu.utils.tb import EventWriter
             self.tb = EventWriter(os.path.join(log_dir, "tb", name))
 
     def log(self, step: int, payload: dict, echo: bool = False):
+        if not self.enabled:
+            return
         def tofloat(v):
             if isinstance(v, (int, float)) and not isinstance(v, bool):
                 return float(v)
@@ -90,6 +97,7 @@ class Trainer:
         # train.py:1239): single-process runs see shard 0 of 1.
         self.shard_count = jax.process_count()
         self.shard_index = jax.process_index()
+        self.primary = self.shard_index == 0
         self.model = model or KRRN(
             cfg=cfg, dtype=jnp.bfloat16 if cfg.train.amp else jnp.float32)
         # LR-anneal horizon = the steps THIS process will actually run:
@@ -101,8 +109,8 @@ class Trainer:
             cfg, total_steps=steps_per_epoch * cfg.train.num_epoch)
         self.train_step = build_train_step(self.model, self.tx, cfg)
         self.eval_step = build_eval_step(self.model, cfg)
-        self.log = MetricsLogger(log_dir, "train")
-        self.eval_log = MetricsLogger(log_dir, "eval")
+        self.log = MetricsLogger(log_dir, "train", enabled=self.primary)
+        self.eval_log = MetricsLogger(log_dir, "eval", enabled=self.primary)
         self.ckpt = CheckpointManager(os.path.join(log_dir, "ckpt"))
         self.resume = resume
         self.resume_backbone_only = resume_backbone_only
@@ -229,7 +237,7 @@ class Trainer:
             acc.update(local_rows(batch["cls"])[keep],
                        {k: local_rows(v)[keep] for k, v in out.items()
                         if getattr(v, "ndim", 0) == 1})
-            if bi == 0 and cfg.train.eval_viz:
+            if bi == 0 and cfg.train.eval_viz and self.primary:
                 # pred-vs-gt overlay grid per test epoch
                 # (version/transparent/train.py:310-317,375-406 analog)
                 from pose_estimation_tpu.utils.viz import save_eval_grid
@@ -250,16 +258,23 @@ class Trainer:
                           {"epoch": epoch, **summary["overall"]}, echo=True)
 
         # Best-model tracking + manual LR decay on margin
-        # (tools/trainer.py:354-368).
+        # (tools/trainer.py:354-368). Replaced scalars are device_put with
+        # the mesh-replicated sharding: a bare jnp scalar is host-local
+        # (single-device) and orbax refuses to serialize it in a
+        # multi-host run; mean_dis comes from the allreduced summary so
+        # every process computes the same value.
+        rep = replicated(self.mesh)
         if mean_dis < float(self.state.best_dis):
             self.state = self.state.replace(
-                best_dis=jnp.asarray(mean_dis, jnp.float32))
+                best_dis=jax.device_put(np.float32(mean_dis), rep))
             self.ckpt.save(int(self.state.step), self.state,
                            metrics={"add_dis": mean_dis})
         if (self.cfg.train.lr.scheduler == "manual"
                 and mean_dis < self.cfg.train.lr.decay_margin):
+            new_scale = float(self.state.lr_scale) \
+                * self.cfg.train.lr.decay_rate
             self.state = self.state.replace(
-                lr_scale=self.state.lr_scale * self.cfg.train.lr.decay_rate)
+                lr_scale=jax.device_put(np.float32(new_scale), rep))
         return summary
 
     def fit(self, num_epochs: int | None = None,

@@ -146,6 +146,7 @@ class TransparentTrainer:
         self.mesh = make_mesh(cfg.mesh.data, cfg.mesh.model, cfg.mesh.dcn)
         self.shard_count = jax.process_count()
         self.shard_index = jax.process_index()
+        self.primary = self.shard_index == 0
         if model is None:
             dtype = jnp.bfloat16 if cfg.train.amp else jnp.float32
             if cfg.module.transparent_model == "posenet":
@@ -175,8 +176,8 @@ class TransparentTrainer:
         # refinement machinery too, dataset.py:101-105)
         self.eval_step = build_transparent_eval_step(
             self.model, refine_icp=cfg.train.refine)
-        self.log = MetricsLogger(log_dir, "train")
-        self.eval_log = MetricsLogger(log_dir, "eval")
+        self.log = MetricsLogger(log_dir, "train", enabled=self.primary)
+        self.eval_log = MetricsLogger(log_dir, "eval", enabled=self.primary)
         self.ckpt = CheckpointManager(os.path.join(log_dir, "ckpt"))
         self.resume = resume
         self.guard = TrainGuard(ckpt_manager=self.ckpt)
@@ -287,27 +288,45 @@ class TransparentTrainer:
             cls = np.asarray(batch["obj"]).reshape(-1)[keep]
             dis = local_rows(out["add_dis"]).reshape(-1)[keep]
             ok = (dis < 0.1 * self._diameters[cls]).astype(np.float32)
-            metrics = {"add_dis": dis, "add_ok": ok}
+            # rot/trans decomposition in the artifact (the reference's
+            # acceptance criteria include rot<5deg / trans<5cm,
+            # tools/trainer.py:156-157,186-191)
+            rdeg = local_rows(out["rot_deg"]).reshape(-1)[keep]
+            tm = local_rows(out["trans_m"]).reshape(-1)[keep]
+            metrics = {"add_dis": dis, "add_ok": ok,
+                       "rot_deg": rdeg, "trans_m": tm,
+                       "deg_cm_ok": ((rdeg < 5.0) & (tm < 0.05)
+                                     ).astype(np.float32)}
             if "add_dis_icp" in out:
                 dis_i = local_rows(out["add_dis_icp"]).reshape(-1)[keep]
                 metrics["add_dis_icp"] = dis_i
                 metrics["add_ok_icp"] = (
                     dis_i < 0.1 * self._diameters[cls]).astype(np.float32)
+                metrics["rot_deg_icp"] = local_rows(
+                    out["rot_deg_icp"]).reshape(-1)[keep]
+                metrics["trans_m_icp"] = local_rows(
+                    out["trans_m_icp"]).reshape(-1)[keep]
+                metrics["icp_accepted"] = local_rows(
+                    out["icp_accepted"]).reshape(-1)[keep]
             acc.update(cls, metrics)
         acc.all_reduce_across_processes()  # no-op single-process
         summary = acc.summary()
         mean_dis = summary["overall"].get("add_dis", float("inf"))
         self.eval_log.log(int(self.state.step),
                           {"epoch": epoch, **summary["overall"]}, echo=True)
+        # mesh-replicated scalar replaces (multi-host orbax-safe; see
+        # Trainer.test_epoch)
+        rep = replicated(self.mesh)
         if mean_dis < float(self.state.best_dis):
             self.state = self.state.replace(
-                best_dis=jnp.asarray(mean_dis, jnp.float32))
+                best_dis=jax.device_put(np.float32(mean_dis), rep))
             self.ckpt.save(int(self.state.step), self.state,
                            metrics={"add_dis": mean_dis})
         if (cfg.train.lr.scheduler == "manual"
                 and mean_dis < cfg.train.lr.decay_margin):
+            new_scale = float(self.state.lr_scale) * cfg.train.lr.decay_rate
             self.state = self.state.replace(
-                lr_scale=self.state.lr_scale * cfg.train.lr.decay_rate)
+                lr_scale=jax.device_put(np.float32(new_scale), rep))
         return summary
 
     def fit(self, num_epochs: int | None = None,
@@ -325,7 +344,8 @@ class TransparentTrainer:
 def build_transparent_eval_step(model, refine_icp: bool = False,
                                 icp_iters: int = 10,
                                 icp_trim: float = 0.3,
-                                icp_points: int = 256) -> Callable:
+                                icp_points: int = 256,
+                                icp_accept_margin: float = 0.15) -> Callable:
     """Best-confidence pose extraction + ADD(-S) — the transparent test
     loop (train.py:305-426) as one compiled program.
 
@@ -334,13 +354,28 @@ def build_transparent_eval_step(model, refine_icp: bool = False,
     scripts/train_declarative.py:42-109) of the regressed pose against
     the COMPLETED depth the model itself predicts (the transparent
     premise: sensor depth is corrupt on glass, the network's completed
-    depth is the usable geometry). Reports the refined pose's metrics
-    alongside the direct ones so the delta is measured, not assumed."""
+    depth is the usable geometry).
+
+    Accept-if-better gating: both poses are scored under the refinement's
+    own trimmed-correspondence objective (icp.trimmed_residual) and the
+    refined pose is kept only when it improves that residual by more than
+    `icp_accept_margin` RELATIVE margin. Rationale for the margin (not
+    plain argmin): the refined pose descends exactly this objective, so
+    it near-always scores <= the direct pose on it; the failure mode is a
+    converged model whose direct pose is already at gt while the
+    completed depth carries its ~2 cm quality floor — refining then swaps
+    sub-mm gt error for the depth head's bias. In that regime both
+    residuals sit at the same floor (improvement ~0), while a genuinely
+    bad mid-training pose improves the residual by its whole error. The
+    relative-margin gate keeps the mid-training crossover win and rejects
+    the converged-model regression (measured: RESULTS_transparent
+    add_ok_icp, regenerated with --eval_from_ckpt)."""
     from pose_estimation_tpu.core.geometry.allocentric import (
         allo_to_ego_matrix)
     from pose_estimation_tpu.core.geometry.rotations import (
         angular_distance, quat_to_matrix)
-    from pose_estimation_tpu.core.solvers.icp import icp_refine
+    from pose_estimation_tpu.core.solvers.icp import (
+        icp_refine, trimmed_residual)
     from pose_estimation_tpu.metrics.metric import add_metric
 
     @jax.jit
@@ -384,16 +419,30 @@ def build_transparent_eval_step(model, refine_icp: bool = False,
             score = m[..., 0].astype(jnp.float32).reshape(b, hh * ww)
             _, idx = jax.lax.top_k(score, icp_points)
             dst = jnp.take_along_axis(cloud, idx[..., None], axis=1)
+            mp = batch["model_points"].astype(jnp.float32)
+            r_dir = r_ego.astype(jnp.float32)
+            t_dir = trans.astype(jnp.float32)
             r_ref, t_ref, resid = icp_refine(
-                batch["model_points"].astype(jnp.float32), dst,
-                r_ego.astype(jnp.float32), trans.astype(jnp.float32),
+                mp, dst, r_dir, t_dir,
                 iters=icp_iters, trim_fraction=icp_trim)
+            # accept-if-better: keep the refined pose only when it beats
+            # the direct pose on the refinement objective by the relative
+            # margin (see docstring)
+            res_dir = trimmed_residual(mp, dst, r_dir, t_dir, icp_trim)
+            res_ref = trimmed_residual(mp, dst, r_ref, t_ref, icp_trim)
+            accept = res_ref < (1.0 - icp_accept_margin) * res_dir
+            r_out = jnp.where(accept[:, None, None], r_ref, r_dir)
+            t_out = jnp.where(accept[:, None], t_ref, t_dir)
             out["add_dis_icp"] = add_metric(
-                r_ref, t_ref, batch["r"], batch["t"],
+                r_out, t_out, batch["r"], batch["t"],
                 batch["model_points"], batch["sym_mask"])
+            out["rot_deg_icp"] = angular_distance(r_out, batch["r"])
+            out["trans_m_icp"] = jnp.linalg.norm(
+                t_out - batch["t"], axis=-1)
             out["icp_residual"] = resid
-            out["pred_r_icp"] = r_ref
-            out["pred_t_icp"] = t_ref
+            out["icp_accepted"] = accept.astype(jnp.float32)
+            out["pred_r_icp"] = r_out
+            out["pred_t_icp"] = t_out
         return out
 
     return eval_step

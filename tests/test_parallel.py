@@ -37,7 +37,7 @@ class TestMesh:
     def test_psum_over_mesh(self):
         """Gradient-reduction pattern: per-device partial sums psum'd."""
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         mesh = make_mesh()
         n = mesh.shape["data"]
         x = jnp.arange(float(n))
