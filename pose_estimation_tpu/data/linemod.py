@@ -133,13 +133,21 @@ class LinemodBOPDataset:
                      scene_gt.json, scene_camera.json
     """
 
+    # splits whose frames are empty-background renders needing a paste
+    # (the reference pastes COCO backgrounds on its `render`-type frames,
+    # lm_bop.py:235-244; BOP synthetic subtrees named like these carry
+    # renders on black)
+    PASTE_SPLITS = ("train_synt", "train_render", "render")
+
     def __init__(self, root: str, split: str = "test",
                  cls_type: str = "all", num_regions: int = 64,
                  depth_scale: float = 1000.0,
                  object_ids: list[int] | None = None,
                  sym_ids: set[int] | None = None,
                  object_names: list[str] | None = None,
-                 eval_bboxes: bool = False):
+                 eval_bboxes: bool = False,
+                 background_dir: str | None = None,
+                 seed: int = 0):
         import cv2  # host-side decode only
         self._cv2 = cv2
         self.root = root
@@ -147,6 +155,9 @@ class LinemodBOPDataset:
         self.num_regions = num_regions
         self.depth_scale = depth_scale
         self.epoch = 0
+        self.seed = seed
+        self._background_dir = background_dir
+        self._backgrounds = None  # lazy BackgroundBank
         self.sym_ids = SYM_OBJ_IDS if sym_ids is None else sym_ids
         # yolov3 detection bboxes for eval crops instead of gt masks
         # (lm_bop.py:100-101,170) — gt-mask crops inflate eval accuracy.
@@ -274,7 +285,24 @@ class LinemodBOPDataset:
                     sdir: str) -> dict:
         """Subclass hook after frame assembly; receives the full-frame
         depth (frame['depth'] is already masked to the target object).
-        YCB-V uses it for synthetic background paste + augmentation."""
+
+        Base behavior: frames from an empty-background render split
+        (PASTE_SPLITS) get a random background pasted over their
+        non-rendered pixels — the reference's COCO paste for `render`
+        frames (lm_bop.py:235-244). YCB-V overrides with its own paste +
+        augmentation."""
+        import os
+        parts = os.path.normpath(sdir).split(os.sep)
+        if any(p in self.PASTE_SPLITS for p in parts):
+            if self._backgrounds is None:
+                from pose_estimation_tpu.data.augment import BackgroundBank
+                self._backgrounds = BackgroundBank(self._background_dir)
+            from pose_estimation_tpu.data.augment import paste_background
+            rng = np.random.RandomState(
+                (self.seed * 77003 + self.epoch * 9176723 + i) % (2 ** 31))
+            scene_mask = (depth_full > 0).astype(np.int32)
+            frame["rgb"] = paste_background(rng, frame["rgb"], scene_mask,
+                                            self._backgrounds)
         return frame
 
 

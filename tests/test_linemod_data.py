@@ -112,6 +112,44 @@ class TestBOPReader:
         np.testing.assert_allclose(np.asarray(batch["bbox_center"][0]),
                                    frame["det_center"], atol=1e-4)
 
+    def test_render_split_background_paste(self, tmp_path_factory):
+        """BOP frames from an empty-background render split get a pasted
+        background over non-rendered pixels (the reference's COCO paste
+        for `render`-type frames, lm_bop.py:235-244); real/test splits
+        keep the original pixels."""
+        from pose_estimation_tpu.data.linemod import LinemodBOPDataset
+        root = str(tmp_path_factory.mktemp("fake_bop_synt"))
+        write_fake_bop_tree(root, num_objects=1, frames_per_object=2,
+                            splits=("train_synt", "test"))
+        synt = LinemodBOPDataset(root, split="train_synt", cls_type="all",
+                                 num_regions=16, object_ids=[1],
+                                 sym_ids=set())
+        test = LinemodBOPDataset(root, split="test", cls_type="all",
+                                 num_regions=16, object_ids=[1],
+                                 sym_ids=set())
+        import cv2
+        fs = synt[0]
+        # test-split frames keep the decoded png exactly
+        ft = test[0]
+        png = cv2.cvtColor(cv2.imread(os.path.join(
+            root, "test", "000001", "rgb", "000000.png")),
+            cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+        np.testing.assert_allclose(ft["rgb"], png, atol=1e-6)
+        # render-split background pixels were replaced...
+        png_s = cv2.cvtColor(cv2.imread(os.path.join(
+            root, "train_synt", "000001", "rgb", "000000.png")),
+            cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+        bg = ~fs["mask"]
+        assert np.abs(fs["rgb"][bg] - png_s[bg]).max() > 0.05
+        # ...while rendered (object) pixels are untouched
+        np.testing.assert_allclose(fs["rgb"][fs["mask"]],
+                                   png_s[fs["mask"]], atol=1e-6)
+        # and the paste redraws per epoch (set_epoch reshuffle semantics)
+        before = synt[0]["rgb"].copy()
+        synt.set_epoch(1)
+        after = synt[0]["rgb"]
+        assert np.abs(before[bg] - after[bg]).max() > 0.01
+
     def test_single_class_selection(self, bop_tree):
         from pose_estimation_tpu.data.linemod import LinemodBOPDataset
         root, objs = bop_tree
