@@ -84,7 +84,6 @@ def main():
         num_pnp_points = 256
         solver_kw = dict(num_hypotheses=32)
     model = KRRN(cfg=cfg, dtype=jnp.bfloat16)
-    key = jax.random.PRNGKey(0)
 
     log(f"devices={jax.devices()} bs={batch_size} iters={iters}")
 
@@ -108,6 +107,15 @@ def main():
     except RuntimeError:
         cpu0 = None  # no CPU backend registered; fall through to default
 
+    import contextlib
+    with (jax.default_device(cpu0) if cpu0 is not None
+          else contextlib.nullcontext()):
+        # seed INSIDE the cpu block: the tiny threefry-seed program
+        # otherwise dispatches/compiles through the relay (ADVICE r3).
+        # default_device outputs are uncommitted, so later fold_in /
+        # infer dispatches still run on the default (TPU) backend.
+        key = jax.random.PRNGKey(0)
+
     bpath = os.path.join(cache_dir, f"batch_bs{batch_size}.npz")
     batch = None
     if os.path.exists(bpath):
@@ -128,7 +136,6 @@ def main():
         ds = SyntheticPoseDataset(num_objects=4, frames_per_object=8,
                                   num_regions=cfg.data.num_regions)
         idx = [i % len(ds) for i in range(batch_size)]
-        import contextlib
         with (jax.default_device(cpu0) if cpu0 is not None
               else contextlib.nullcontext()):
             batch = make_batch(ds, idx, key, cfg.data.input_size,
