@@ -72,6 +72,41 @@ def icp_refine(src: jax.Array, dst: jax.Array, r0: jax.Array, t0: jax.Array,
     return r, t, residuals[-1]
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "trim_fraction",
+                                    "accept_margin"))
+def gated_icp_refine(src: jax.Array, dst: jax.Array, r0: jax.Array,
+                     t0: jax.Array, iters: int = 10,
+                     trim_fraction: float = 0.0,
+                     accept_margin: float = 0.15):
+    """ICP refinement with accept-if-better gating: returns
+    (r_out, t_out, accepted [B] bool, refined_residual [B]).
+
+    Both the initial pose and the ICP-refined pose are scored under the
+    refinement's own trimmed-correspondence objective (trimmed_residual)
+    and the refined pose is kept only when it improves that residual by
+    more than `accept_margin` RELATIVE margin. Rationale for the margin
+    (not plain argmin): the refined pose descends exactly this objective,
+    so it near-always scores <= the initial pose on it; the failure mode
+    is a converged model whose direct pose is already at gt while the
+    observed cloud (here: the network's completed depth) carries a ~2 cm
+    quality floor — refining then swaps sub-mm gt error for the depth
+    head's bias. In that regime both residuals sit at the same floor
+    (improvement ~0), while a genuinely bad mid-training pose improves
+    the residual by its whole error. The relative-margin gate keeps the
+    mid-training crossover win and rejects the converged-model
+    regression (the reference ships no such gate — its refinement
+    prototype is scripts/train_declarative.py:42-109)."""
+    r_ref, t_ref, resid = icp_refine(src, dst, r0, t0, iters=iters,
+                                     trim_fraction=trim_fraction)
+    res_dir = trimmed_residual(src, dst, r0, t0, trim_fraction)
+    res_ref = trimmed_residual(src, dst, r_ref, t_ref, trim_fraction)
+    accept = res_ref < (1.0 - accept_margin) * res_dir
+    r_out = jnp.where(accept[:, None, None], r_ref, r0)
+    t_out = jnp.where(accept[:, None], t_ref, t0)
+    return r_out, t_out, accept, resid
+
+
 def trimmed_residual(src: jax.Array, dst: jax.Array, r: jax.Array,
                      t: jax.Array, trim_fraction: float = 0.0) -> jax.Array:
     """Trimmed dst->src nearest-neighbor residual of a GIVEN pose [B].

@@ -356,26 +356,18 @@ def build_transparent_eval_step(model, refine_icp: bool = False,
     premise: sensor depth is corrupt on glass, the network's completed
     depth is the usable geometry).
 
-    Accept-if-better gating: both poses are scored under the refinement's
-    own trimmed-correspondence objective (icp.trimmed_residual) and the
-    refined pose is kept only when it improves that residual by more than
-    `icp_accept_margin` RELATIVE margin. Rationale for the margin (not
-    plain argmin): the refined pose descends exactly this objective, so
-    it near-always scores <= the direct pose on it; the failure mode is a
-    converged model whose direct pose is already at gt while the
-    completed depth carries its ~2 cm quality floor — refining then swaps
-    sub-mm gt error for the depth head's bias. In that regime both
-    residuals sit at the same floor (improvement ~0), while a genuinely
-    bad mid-training pose improves the residual by its whole error. The
-    relative-margin gate keeps the mid-training crossover win and rejects
-    the converged-model regression (measured: RESULTS_transparent
-    add_ok_icp, regenerated with --eval_from_ckpt)."""
+    Accept-if-better gating via icp.gated_icp_refine: both poses are
+    scored under the refinement's own trimmed-correspondence objective
+    and the refined pose is kept only when it improves that residual by
+    more than `icp_accept_margin` RELATIVE margin — keeps the
+    mid-training crossover win and rejects the converged-model
+    regression (rationale in the gated_icp_refine docstring; measured:
+    RESULTS_transparent add_ok_icp)."""
     from pose_estimation_tpu.core.geometry.allocentric import (
         allo_to_ego_matrix)
     from pose_estimation_tpu.core.geometry.rotations import (
         angular_distance, quat_to_matrix)
-    from pose_estimation_tpu.core.solvers.icp import (
-        icp_refine, trimmed_residual)
+    from pose_estimation_tpu.core.solvers.icp import gated_icp_refine
     from pose_estimation_tpu.metrics.metric import add_metric
 
     @jax.jit
@@ -422,17 +414,9 @@ def build_transparent_eval_step(model, refine_icp: bool = False,
             mp = batch["model_points"].astype(jnp.float32)
             r_dir = r_ego.astype(jnp.float32)
             t_dir = trans.astype(jnp.float32)
-            r_ref, t_ref, resid = icp_refine(
-                mp, dst, r_dir, t_dir,
-                iters=icp_iters, trim_fraction=icp_trim)
-            # accept-if-better: keep the refined pose only when it beats
-            # the direct pose on the refinement objective by the relative
-            # margin (see docstring)
-            res_dir = trimmed_residual(mp, dst, r_dir, t_dir, icp_trim)
-            res_ref = trimmed_residual(mp, dst, r_ref, t_ref, icp_trim)
-            accept = res_ref < (1.0 - icp_accept_margin) * res_dir
-            r_out = jnp.where(accept[:, None, None], r_ref, r_dir)
-            t_out = jnp.where(accept[:, None], t_ref, t_dir)
+            r_out, t_out, accept, resid = gated_icp_refine(
+                mp, dst, r_dir, t_dir, iters=icp_iters,
+                trim_fraction=icp_trim, accept_margin=icp_accept_margin)
             out["add_dis_icp"] = add_metric(
                 r_out, t_out, batch["r"], batch["t"],
                 batch["model_points"], batch["sym_mask"])

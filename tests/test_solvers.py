@@ -217,6 +217,50 @@ class TestICP:
         assert float(jnp.linalg.norm(t - t_gt[None])) < 2e-3
 
 
+class TestGatedICP:
+    """Accept-if-better gating (gated_icp_refine): refinement must never
+    regress a converged pose against a noisy observed cloud, and must
+    still accept the mid-training win on a genuinely bad pose — the
+    VERDICT-r3 weak #4 scenario (shipped refine flag silently losing 83
+    points of ADD@0.1d on a good checkpoint)."""
+
+    def _scene(self, rng, noise=0.008):
+        # asymmetric blob so rotation is observable; dst is a noisy
+        # subset (the "completed depth with a ~noise-level quality floor")
+        src = rng.randn(1, 128, 3).astype(np.float32) * 0.05
+        r_gt = np.asarray(cv2.Rodrigues(rng.randn(3) * 0.5)[0], np.float32)
+        t_gt = np.array([0.02, -0.01, 0.6], np.float32)
+        obs = src[0, rng.choice(128, 64, replace=False)] @ r_gt.T + t_gt
+        obs = obs + rng.randn(64, 3).astype(np.float32) * noise
+        return (jnp.asarray(src), jnp.asarray(obs[None]),
+                jnp.asarray(r_gt[None]), jnp.asarray(t_gt[None]))
+
+    def test_rejects_refinement_of_converged_pose(self, rng):
+        from pose_estimation_tpu.core.solvers.icp import gated_icp_refine
+        src, dst, r_gt, t_gt = self._scene(rng)
+        r, t, accepted, _ = gated_icp_refine(src, dst, r_gt, t_gt,
+                                             iters=10, trim_fraction=0.3)
+        assert not bool(accepted[0]), "gate accepted a no-win refinement"
+        # rejected => outputs are EXACTLY the direct pose, bit-for-bit
+        assert np.array_equal(np.asarray(r), np.asarray(r_gt))
+        assert np.array_equal(np.asarray(t), np.asarray(t_gt))
+
+    def test_accepts_refinement_of_bad_pose(self, rng):
+        from pose_estimation_tpu.core.solvers.icp import gated_icp_refine
+        src, dst, r_gt, t_gt = self._scene(rng)
+        dr = np.asarray(cv2.Rodrigues(np.array([0.20, -0.15, 0.10]))[0],
+                        np.float32)
+        r0 = jnp.asarray(dr[None]) @ r_gt
+        t0 = t_gt + jnp.asarray([[0.02, -0.015, 0.01]])
+        r, t, accepted, _ = gated_icp_refine(src, dst, r0, t0,
+                                             iters=10, trim_fraction=0.3)
+        assert bool(accepted[0]), "gate rejected a clear-win refinement"
+        init_rot = float(geo.angular_distance(r0, r_gt)[0])
+        assert float(geo.angular_distance(r, r_gt)[0]) < 0.5 * init_rot
+        assert (float(jnp.linalg.norm(t - t_gt))
+                < 0.5 * float(jnp.linalg.norm(t0 - t_gt)))
+
+
 class TestRansacSampling:
     def test_minimal_subsets_are_distinct(self, key):
         """Shared-permutation sampling must return duplicate-free subsets
