@@ -77,12 +77,24 @@ def sample_points_from_mesh(path: str, n: int,
 
 
 def read_exr(path: str) -> np.ndarray:
-    """EXR decode via OpenCV (cleargrasp/dataset.py:328-341)."""
+    """EXR decode (cleargrasp/dataset.py:328-341 uses cv2's OpenEXR
+    bindings). The native numpy codec (data/exr.py) is primary — many
+    cv2 builds, including this image's, ship without OpenEXR — with cv2
+    as the fallback for compressions the native reader doesn't cover
+    (PIZ/PXR24/B44/DWA)."""
+    if not os.path.isfile(path):
+        raise FileNotFoundError(path)
+    from pose_estimation_tpu.data import exr
+    try:
+        return exr.read_exr(path).astype(np.float32)
+    except NotImplementedError:
+        pass
     import cv2
     os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
     img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
     if img is None:
-        raise FileNotFoundError(path)
+        raise ValueError(f"{path}: undecodable EXR (native reader "
+                         "lacks its compression; cv2 lacks OpenEXR)")
     if img.ndim == 3:
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
     return img.astype(np.float32)
