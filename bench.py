@@ -43,11 +43,13 @@ import numpy as np
 
 # Persistent compile cache: the eval program (model + vmapped PnP-RANSAC)
 # is a large graph; caching makes repeat bench runs start in seconds.
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 # Cache even sub-second programs: on this 1-vCPU host every tiny XLA
 # compile through the axon relay costs ~0.4 s, and a cold process emits
-# dozens of them (threefry, convert_element_type, ...).
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# dozens of them (threefry, convert_element_type, ...). Per-host cache
+# namespace: stale cross-machine XLA:CPU AOT entries spammed SIGILL-risk
+# warnings into driver artifacts (ADVICE r4 #4).
+from pose_estimation_tpu.utils.cache import enable_cache
+enable_cache(jax, min_compile_secs=0.0)
 
 BASELINE_FPS = 11.6  # reference eval throughput (BASELINE.md)
 

@@ -63,8 +63,8 @@ def build_dataset(cfg: schema.Config, args, mode: str = "train"):
 
 def main(argv=None):
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.jax_cache"))
+    from pose_estimation_tpu.utils.cache import enable_cache
+    enable_cache(jax, min_compile_secs=1.0)
     p = argparse.ArgumentParser("pose_estimation_tpu")
     p.add_argument("--config", "--config_file", default="lm_v3_1",
                    help="preset name in configs.schema or a .py file")

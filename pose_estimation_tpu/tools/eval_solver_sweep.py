@@ -30,8 +30,8 @@ def main(argv=None):
     p.add_argument("--out", default="")
     args = p.parse_args(argv)
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from pose_estimation_tpu.utils.cache import enable_cache
+    enable_cache(jax, min_compile_secs=1.0)
 
     from pose_estimation_tpu.configs import schema
     from pose_estimation_tpu.data.synthetic import SyntheticPoseDataset

@@ -46,8 +46,8 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.jax_cache"))
+    from pose_estimation_tpu.utils.cache import enable_cache
+    enable_cache(jax, min_compile_secs=1.0)
     import jax.numpy as jnp
     import numpy as np
 

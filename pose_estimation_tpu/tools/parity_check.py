@@ -132,7 +132,8 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    from pose_estimation_tpu.utils.cache import enable_cache
+    enable_cache(jax, min_compile_secs=1.0)
     import jax.numpy as jnp
 
     scenes = make_scenes(args.scenes, args.points, args.noise_px,

@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+from pose_estimation_tpu.utils.cache import enable_cache
+enable_cache(jax, min_compile_secs=1.0)
 
 
 def device_time(fn, args, reps: int = 10, name: str = "") -> float:

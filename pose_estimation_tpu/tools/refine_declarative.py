@@ -43,7 +43,8 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    from pose_estimation_tpu.utils.cache import enable_cache
+    enable_cache(jax, min_compile_secs=1.0)
 
     from pose_estimation_tpu.core.geometry.rotations import (
         angular_distance, axis_angle_to_matrix)

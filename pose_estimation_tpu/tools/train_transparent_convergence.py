@@ -51,7 +51,8 @@ def main(argv=None):
                         "~15 min retrain")
     args = p.parse_args(argv)
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    from pose_estimation_tpu.utils.cache import enable_cache
+    enable_cache(jax, min_compile_secs=1.0)
 
     from pose_estimation_tpu.configs import schema
     from pose_estimation_tpu.data.synthetic import SyntheticTransparentDataset

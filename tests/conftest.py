@@ -28,10 +28,9 @@ jax.config.update("jax_enable_x64", False)
 # Persistent compile cache: the integration tests re-jit the same big
 # XLA:CPU programs every run; warm-cache reruns are up to ~10x faster
 # (cli.py / bench.py / __graft_entry__.py already do this).
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                 "/root/.jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from pose_estimation_tpu.utils.cache import enable_cache  # noqa: E402
+
+enable_cache(jax, min_compile_secs=1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

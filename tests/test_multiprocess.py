@@ -109,7 +109,7 @@ class TestTwoProcessIntegration:
         outs = []
         for p in procs:
             try:
-                out, _ = p.communicate(timeout=900)
+                out, _ = p.communicate(timeout=1800)
             except subprocess.TimeoutExpired:
                 for q in procs:
                     q.kill()
@@ -137,3 +137,13 @@ class TestTwoProcessIntegration:
             assert r["eval_count"] == 9, r
             assert r["per_object_counts"] == {"0": 3, "1": 3, "2": 3}, r
         assert np.isclose(results[0]["add_dis"], results[1]["add_dis"])
+        # phase 2: the TransparentTrainer (the reference's one true
+        # multi-GPU path, train.py:1216-1315) through the same 2-process
+        # collectives — agreed step count, full allreduced eval coverage,
+        # identical merged metrics on both processes
+        assert (results[0]["t_train_steps"]
+                == results[1]["t_train_steps"] == 1)
+        for r in results:
+            assert r["t_eval_count"] == 9, r
+            assert r["t_per_object_counts"] == {"0": 3, "1": 3, "2": 3}, r
+        assert np.isclose(results[0]["t_add_dis"], results[1]["t_add_dis"])

@@ -60,6 +60,36 @@ class TestCommittedTransparentAccuracy:
             assert obj["add_ok"] >= 0.75, (name, obj)
         assert res["steps"] > 5000, res
 
+    def test_artifact_matches_current_eval_schema(self):
+        """The artifact must carry the fields the shipped eval step
+        emits (transparent_trainer.test_epoch: rot/trans decomposition
+        mirroring the reference's rot<5deg / trans<5cm acceptance,
+        tools/trainer.py:156-157) — a stale artifact predating the
+        current eval path fails here instead of rotting silently."""
+        with open(RESULTS_T) as f:
+            res = json.load(f)
+        for field in ("rot_deg", "trans_m", "deg_cm_ok"):
+            assert field in res["overall"], (field, sorted(res["overall"]))
+        assert res["overall"]["rot_deg"] < 5.0, res["overall"]
+        assert res["overall"]["trans_m"] < 0.05, res["overall"]
+
+    def test_gated_icp_never_regresses(self):
+        """The whole point of gated_icp_refine (core/solvers/icp.py):
+        refinement is accept-if-better, so the committed artifact's
+        post-ICP success may not fall below the direct regression by
+        more than noise. The pre-gate artifact showed add_ok_icp 0.17
+        vs add_ok 1.0 — that must never be committable again."""
+        with open(RESULTS_T) as f:
+            res = json.load(f)
+        if not res.get("refine_icp"):
+            pytest.skip("artifact measured without eval-time ICP")
+        ov = res["overall"]
+        for field in ("add_ok_icp", "add_dis_icp", "icp_accepted",
+                      "rot_deg_icp", "trans_m_icp"):
+            assert field in ov, (field, sorted(ov))
+        assert ov["add_ok_icp"] >= ov["add_ok"] - 0.02, ov
+        assert ov["add_dis_icp"] <= ov["add_dis"] * 1.10 + 1e-4, ov
+
 
 @pytest.mark.skipif(not os.path.isfile(PARITY),
                     reason="PARITY.json not yet produced "

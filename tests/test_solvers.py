@@ -218,11 +218,14 @@ class TestICP:
 
 
 class TestGatedICP:
-    """Accept-if-better gating (gated_icp_refine): refinement must never
-    regress a converged pose against a noisy observed cloud, and must
-    still accept the mid-training win on a genuinely bad pose — the
-    VERDICT-r3 weak #4 scenario (shipped refine flag silently losing 83
-    points of ADD@0.1d on a good checkpoint)."""
+    """Trust-region accept gating (gated_icp_refine): refinement must
+    never regress a converged pose against a noisy/biased observed
+    cloud, must accept a genuine within-trust-region polish, and must
+    reject any refinement that moves the pose far — the r5 regeneration
+    of the transparent artifact measured the r4 residual-only gate
+    accepting 85% of frames while mean rotation error went
+    4.2 -> 23.3 deg (a wrong-rotation fit to the biased completed depth
+    beats the trimmed residual; see the gated_icp_refine docstring)."""
 
     def _scene(self, rng, noise=0.008):
         # asymmetric blob so rotation is observable; dst is a noisy
@@ -245,7 +248,28 @@ class TestGatedICP:
         assert np.array_equal(np.asarray(r), np.asarray(r_gt))
         assert np.array_equal(np.asarray(t), np.asarray(t_gt))
 
-    def test_accepts_refinement_of_bad_pose(self, rng):
+    def test_accepts_polish_within_trust_region(self, rng):
+        """A near-correct pose (~5 deg, 8 mm off — inside the 10 deg /
+        2 cm trust region) with a clear residual win must be refined."""
+        from pose_estimation_tpu.core.solvers.icp import gated_icp_refine
+        src, dst, r_gt, t_gt = self._scene(rng, noise=0.002)
+        dr = np.asarray(cv2.Rodrigues(np.array([0.06, -0.05, 0.03]))[0],
+                        np.float32)
+        r0 = jnp.asarray(dr[None]) @ r_gt
+        t0 = t_gt + jnp.asarray([[0.005, -0.004, 0.004]])
+        r, t, accepted, _ = gated_icp_refine(src, dst, r0, t0,
+                                             iters=10, trim_fraction=0.3)
+        assert bool(accepted[0]), "gate rejected a clear-win polish"
+        init_rot = float(geo.angular_distance(r0, r_gt)[0])
+        assert float(geo.angular_distance(r, r_gt)[0]) < 0.5 * init_rot
+        assert (float(jnp.linalg.norm(t - t_gt))
+                < 0.5 * float(jnp.linalg.norm(t0 - t_gt)))
+
+    def test_rejects_large_pose_change_even_if_residual_improves(self, rng):
+        """The epoch-183 failure mode: starting far off (~15 deg,
+        2.7 cm), ICP may find a fit that beats the trimmed residual by
+        re-estimating the pose — outside the trust region it must be
+        rejected and the outputs must be exactly the direct pose."""
         from pose_estimation_tpu.core.solvers.icp import gated_icp_refine
         src, dst, r_gt, t_gt = self._scene(rng)
         dr = np.asarray(cv2.Rodrigues(np.array([0.20, -0.15, 0.10]))[0],
@@ -254,11 +278,9 @@ class TestGatedICP:
         t0 = t_gt + jnp.asarray([[0.02, -0.015, 0.01]])
         r, t, accepted, _ = gated_icp_refine(src, dst, r0, t0,
                                              iters=10, trim_fraction=0.3)
-        assert bool(accepted[0]), "gate rejected a clear-win refinement"
-        init_rot = float(geo.angular_distance(r0, r_gt)[0])
-        assert float(geo.angular_distance(r, r_gt)[0]) < 0.5 * init_rot
-        assert (float(jnp.linalg.norm(t - t_gt))
-                < 0.5 * float(jnp.linalg.norm(t0 - t_gt)))
+        assert not bool(accepted[0])
+        assert np.array_equal(np.asarray(r), np.asarray(r0))
+        assert np.array_equal(np.asarray(t), np.asarray(t0))
 
 
 class TestRansacSampling:
