@@ -56,6 +56,47 @@ class _Stream(nn.Module):
         return nn.relu(self.norm2(self.conv2(idx, pts, feat), train))
 
 
+def _fused_convs(convs, idx, pts_list, feat_list, support_num):
+    """Run N narrow ConvLayers sharing one KNN graph through the
+    shared-gather fused aggregate (ops.pallas_gcn.
+    gcn_aggregate_linear_multi). Identical math and identical param
+    tree to calling each ConvLayer directly."""
+    from pose_estimation_tpu.ops.pallas_gcn import (
+        gcn_aggregate_linear_multi)
+    parts = [c(idx, p, f, parts=True)
+             for c, p, f in zip(convs, pts_list, feat_list)]
+    centers, dirs_l, nds, xs, ws, bs = map(list, zip(*parts))
+    aggs = gcn_aggregate_linear_multi(nds, dirs_l, xs, ws, bs, idx,
+                                      support_num)
+    return [c + a.astype(c.dtype) for c, a in zip(centers, aggs)]
+
+
+def _fused_level0(streams, idx, pts_list, support_num, dtype, train):
+    """The 3 streams' level-0 pass with BOTH hot aggregates fused:
+    the ConvSurfaces run through the multi-stream theta kernel and the
+    conv1s through the shared-gather kernel (the two hottest blocks of
+    the forward). Identical math and identical param tree to calling
+    `_Stream.level0` per stream."""
+    from pose_estimation_tpu.ops.pallas_gcn import gcn_surface_multi
+    surf = [st.conv0(idx, p, parts=True)
+            for st, p in zip(streams, pts_list)]
+    dirs0, nds0 = map(list, zip(*surf))
+    f0s = [nn.relu(a.astype(dtype)) for a in
+           gcn_surface_multi(nds0, dirs0, support_num)]
+    ys = _fused_convs([st.conv1 for st in streams], idx, pts_list, f0s,
+                      support_num)
+    return [nn.relu(st.norm1(y, train))
+            for st, y in zip(streams, ys)]
+
+
+def _fused_level1(streams, idx1, pts_list, feat_list, support_num, train):
+    """Level-1: the 3 conv2 layers share idx1's gather the same way."""
+    ys = _fused_convs([st.conv2 for st in streams], idx1, pts_list,
+                      feat_list, support_num)
+    return [nn.relu(st.norm2(y, train))
+            for st, y in zip(streams, ys)]
+
+
 class FusionNetLite(nn.Module):
     """Default fusion (fusion.py:137-240). Output [B, N, 1280]."""
 
@@ -70,17 +111,18 @@ class FusionNetLite(nn.Module):
         n = vertices.shape[1]
         idx = po.knn_indices(_sg(vertices), k)
 
-        # NOTE: a MultiConvLayer variant batching the 3 streams' gathers
-        # into one concatenated one-hot matmul measured slightly SLOWER
-        # end-to-end (317 vs 340 fps) — the concat materialization eats the
-        # mask-sharing win; per-stream layers kept.
+        # Level 0 runs through the fused shared-gather kernel (same math
+        # and param tree as per-stream _Stream.level0). History: an r2
+        # MultiConvLayer attempt concatenating the WIDE support tables
+        # measured slower (317 vs 340 fps); the r5 fused path shares the
+        # gather on the NARROW inputs inside a Pallas kernel instead.
         sv = _Stream(128, 128, 128, self.support_num, self.norm, self.dtype)
         sx = _Stream(128, 128, 128, self.support_num, self.norm, self.dtype)
         sn = _Stream(128, 128, 128, self.support_num, self.norm, self.dtype)
 
-        fm_1_v = sv.level0(idx, vertices, train)
-        fm_1_x = sx.level0(idx, xyz, train)
-        fm_1_n = sn.level0(idx, normal, train)
+        fm_1_v, fm_1_x, fm_1_n = _fused_level0(
+            [sv, sx, sn], idx, [vertices, xyz, normal],
+            self.support_num, self.dtype, train)
 
         feat_1 = jnp.concatenate([fm_1_v, fm_1_x, fm_1_n], -1)  # [B,N,384]
         feat_9d = jnp.concatenate([vertices, xyz, normal], -1)  # [B,N,9]
@@ -99,9 +141,9 @@ class FusionNetLite(nn.Module):
         k1 = max(1, min(k, v_p1.shape[1] // 8))
         idx1 = po.knn_indices(_sg(v_p1), k1)
 
-        fm_2_v = sv.level1(idx1, v_p1, f_p1_v, train)
-        fm_2_x = sx.level1(idx1, x_p1, f_p1_x, train)
-        fm_2_n = sn.level1(idx1, n_p1, f_p1_n, train)
+        fm_2_v, fm_2_x, fm_2_n = _fused_level1(
+            [sv, sx, sn], idx1, [v_p1, x_p1, n_p1],
+            [f_p1_v, f_p1_x, f_p1_n], self.support_num, train)
 
         feat_2 = jnp.concatenate([fm_2_v, fm_2_x, fm_2_n], -1)  # [B,N/4,384]
         pool_2, f_pool_2, s2 = pool_c2(pool_1, feat_2)
@@ -153,7 +195,8 @@ class FusionNet(nn.Module):
                  for _ in range(3)]
 
         inputs = [vertices, xyz, normal]
-        fm1 = [s.level0(idx, p, train) for s, p in zip(streams, inputs)]
+        fm1 = _fused_level0(streams, idx, inputs, self.support_num,
+                            self.dtype, train)
         feat_1 = jnp.concatenate(fm1, -1)
         feat_9d = jnp.concatenate(inputs, -1)
 
@@ -163,11 +206,13 @@ class FusionNet(nn.Module):
 
         k1 = max(1, min(k, pooled[0][0].shape[1] // 8))
         idx1 = po.knn_indices(_sg(pooled[0][0]), k1)
-        fm2 = [s.level1(idx1, pt, f, train)
-               for s, (pt, f) in zip(streams, pooled)]
+        fm2 = _fused_level1(streams, idx1, [pt for pt, _ in pooled],
+                            [f for _, f in pooled], self.support_num,
+                            train)
         norm3 = [Norm(self.norm, dtype=self.dtype) for _ in range(3)]
-        fm3 = [nn.relu(nm(c(idx1, pt, f), train))
-               for nm, c, (pt, _), f in zip(norm3, extra, pooled, fm2)]
+        fm3_y = _fused_convs(extra, idx1, [pt for pt, _ in pooled], fm2,
+                             self.support_num)
+        fm3 = [nn.relu(nm(y, train)) for nm, y in zip(norm3, fm3_y)]
         feat_2 = jnp.concatenate(fm3, -1)  # [B, N/4, 768]
 
         pool_2, f_pool_2 = PoolLayer(4, 4)(pool_1, feat_2)

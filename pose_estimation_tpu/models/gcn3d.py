@@ -41,7 +41,11 @@ class ConvSurface(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, neighbor_index, vertices):
+    def __call__(self, neighbor_index, vertices, parts=False):
+        """With parts=True: declare the same params but return
+        (dirs, nd) so a caller owning several streams on one KNN graph
+        can run them through the fused multi-stream theta kernel
+        (ops.pallas_gcn.gcn_surface_multi)."""
         s, o = self.support_num, self.kernel_num
         stdv = 1.0 / (s * o) ** 0.5
         directions = self.param(
@@ -51,6 +55,8 @@ class ConvSurface(nn.Module):
         from pose_estimation_tpu.core.mathsafe import safe_normalize
         dirs = safe_normalize(directions, axis=0, eps=1e-12)
         nd = _unit_directions(vertices, neighbor_index)  # [b,n,k,d]
+        if parts:
+            return dirs, nd
         from pose_estimation_tpu.ops.pallas_gcn import gcn_aggregate
         return gcn_aggregate(nd, dirs, None, neighbor_index,
                              s).astype(self.dtype)
@@ -65,7 +71,12 @@ class ConvLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, neighbor_index, vertices, feature_map):
+    def __call__(self, neighbor_index, vertices, feature_map, parts=False):
+        """With parts=True (narrow inputs only): declare the same params
+        but return (center, dirs, nd, x, w_support, b_support) WITHOUT
+        running the aggregate, so a caller owning several streams on one
+        KNN graph can run them through the shared-gather fused kernel
+        (ops.pallas_gcn.gcn_aggregate_linear_multi)."""
         s, o = self.support_num, self.out_channel
         in_ch = feature_map.shape[-1]
         stdv = 1.0 / (o * (s + 1)) ** 0.5
@@ -86,12 +97,17 @@ class ConvLayer(nn.Module):
             # Narrow input: gather X then transform (identical math,
             # ~4x fewer flops at the level-0 shapes — see
             # ops.pallas_gcn.gcn_aggregate_linear).
+            center = x @ w[:, :o] + bb[:o]
+            if parts:
+                return center, dirs, nd, x, w[:, o:], bb[o:]
             from pose_estimation_tpu.ops.pallas_gcn import (
                 gcn_aggregate_linear)
-            center = x @ w[:, :o] + bb[:o]
             agg = gcn_aggregate_linear(nd, dirs, x, w[:, o:], bb[o:],
                                        neighbor_index, s).astype(self.dtype)
         else:
+            if parts:
+                raise ValueError("parts=True requires narrow input "
+                                 f"(in_ch {in_ch} >= s*o {s * o})")
             feat = x @ w + bb
             center = feat[..., :o]
             support = feat[..., o:]                              # [b,n,s*o]

@@ -135,6 +135,374 @@ def _fwd_xla(nd, dirs, feats, idx, support_num):
 
 
 # ---------------------------------------------------------------------------
+# Fused multi-stream narrow aggregate (the level-0 hot path, Pallas)
+# ---------------------------------------------------------------------------
+#
+# The XLA k-loop above is HBM-bandwidth-bound, not FLOP-bound: every k
+# slot materializes two [B,N,S*O] matmul outputs and reads+writes the
+# [B,N,S*O] max-accumulator (XLA cannot fuse across the dot boundaries),
+# ~7 GB of traffic for ~480 GFLOP across the 3 fusion streams at
+# B=32, N=M=1024, K=10, Cin=128, S*O=896. The fused kernel keeps
+# EVERYTHING on-chip per (batch, point-tile) grid cell:
+#
+#   - the 3 streams' concatenated input table X_cat [M, 3*Cin] (768 KB
+#     bf16) lives in VMEM, re-used across the tile's K one-hot gathers;
+#   - the per-slot one-hot mask is built in-register (VPU compare vs a
+#     broadcasted iota) and immediately consumed by the MXU dot — it
+#     never touches HBM;
+#   - ONE gather matmul serves all 3 streams (the [TILE, M] mask is
+#     shared; arithmetic intensity per mask tile triples);
+#   - theta (direction response, d=3) is 3 VPU broadcast-FMAs — the MXU
+#     would waste a 128-wide contraction on it;
+#   - the running max over k stays in VMEM; only the final
+#     sum-over-support [TILE, 3*O] leaves the chip.
+#
+# HBM traffic drops to inputs+outputs (~50 MB vs ~7 GB). Gradients go
+# through a custom_vjp whose backward re-runs the XLA formulation
+# (training throughput is not the bench gate; eval is).
+
+
+def _linear_multi_xla(nds, dirs_list, xs, ws, bs, idx, support_num):
+    """Reference/backward path: per-k shared gather on the concatenated
+    narrow inputs, then per-stream transform/theta/max. Same math as
+    `gcn_aggregate_linear` per stream; the gather one-hot (or
+    take_along_axis off-TPU) is built once per slot instead of once per
+    slot per stream."""
+    streams = len(nds)
+    b, n, k, _ = nds[0].shape
+    s = support_num
+    dtype = xs[0].dtype
+    widths = [x.shape[-1] for x in xs]
+    offs = [sum(widths[:j]) for j in range(streams)]
+    cat = jnp.concatenate(xs, axis=-1)
+    m = cat.shape[1]
+    use_onehot = (m <= _ONEHOT_MAX_N and jax.default_backend() == "tpu")
+    if use_onehot:
+        iota = jnp.arange(m)
+    accs = [None] * streams
+    for kk in range(k):
+        if use_onehot:
+            onehot = (idx[:, :, kk, None] == iota[None, None, :]
+                      ).astype(dtype)
+            xg_cat = jnp.einsum("bnm,bmc->bnc", onehot, cat)
+        else:
+            xg_cat = jnp.take_along_axis(cat, idx[:, :, kk:kk + 1], axis=1)
+        for si in range(streams):
+            nd = nds[si].astype(dtype)
+            theta = jax.nn.relu(
+                jnp.einsum("bnd,dm->bnm", nd[:, :, kk],
+                           dirs_list[si].astype(dtype)))
+            xg = xg_cat[..., offs[si]:offs[si] + widths[si]]
+            val = theta * (xg @ ws[si].astype(dtype)
+                           + bs[si].astype(dtype))
+            accs[si] = val if accs[si] is None else jnp.maximum(
+                accs[si], val)
+    return [a.reshape(b, n, s, -1).sum(axis=2).astype(jnp.float32)
+            for a in accs]
+
+
+def _linear_multi_kernel(idx_ref, nd_ref, x_ref, dirs_ref, w_ref, b_ref,
+                         o_ref, *, k: int, s: int, streams: int, cin: int,
+                         so: int, tile: int, m: int, vpu_theta: bool):
+    """One (batch, point-tile) cell. nd_ref [1, tile, k*streams*3] bf16
+    with layout [kk*streams*3 + si*3 + d]; x_ref [1, m, streams*cin];
+    dirs_ref [streams*3, streams*so] BLOCK-DIAGONAL (theta for all
+    streams of one slot is ONE MXU dot — the 9-wide contraction pads to
+    128 regardless, so the off-diagonal zeros cost nothing and the VPU
+    is left with only relu/mul/max); w_ref [streams, cin, so]; b_ref
+    [streams, so]; o_ref [1, tile, streams*(so//s)]."""
+    x_tab = x_ref[0]                                  # [m, streams*cin]
+    idx_t = idx_ref[0]                                # [tile, k]
+    ndm = nd_ref[0]                                   # [tile, k*streams*3]
+    dirs_bd = dirs_ref[...]                           # [S*3, S*so]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tile, m), 1)
+    s3 = streams * 3
+    accs = [None] * streams
+
+    def gather(kk):
+        onehot = (idx_t[:, kk:kk + 1] == iota).astype(jnp.bfloat16)
+        return jnp.dot(onehot, x_tab,
+                       preferred_element_type=jnp.float32)
+
+    # Software pipeline: the slot-(kk+1) gather dot is issued BEFORE
+    # slot kk's VPU chain so the MXU runs a step ahead of the VPU.
+    xg = gather(0)
+    for kk in range(k):
+        xg_next = gather(kk + 1) if kk + 1 < k else None
+        if vpu_theta:
+            # 3 broadcast-FMAs per stream instead of the padded MXU dot
+            # (the 9-wide contraction pads to 128 — mostly wasted MXU)
+            ths = []
+            for si in range(streams):
+                base = (kk * streams + si) * 3
+                d0 = dirs_bd[si * 3:si * 3 + 3,
+                             si * so:(si + 1) * so].astype(jnp.float32)
+                ths.append(ndm[:, base:base + 1].astype(jnp.float32)
+                           * d0[0:1, :]
+                           + ndm[:, base + 1:base + 2].astype(jnp.float32)
+                           * d0[1:2, :]
+                           + ndm[:, base + 2:base + 3].astype(jnp.float32)
+                           * d0[2:3, :])
+            theta = jnp.concatenate(ths, axis=-1)
+        else:
+            theta = jnp.dot(ndm[:, kk * s3:(kk + 1) * s3], dirs_bd,
+                            preferred_element_type=jnp.float32)
+        theta = jnp.maximum(theta, 0.0)                   # [tile, S*so]
+        for si in range(streams):
+            sup = jnp.dot(
+                xg[:, si * cin:(si + 1) * cin].astype(jnp.bfloat16),
+                w_ref[si],
+                preferred_element_type=jnp.float32) + b_ref[si:si + 1, :]
+            val = theta[:, si * so:(si + 1) * so] * sup
+            accs[si] = val if accs[si] is None else jnp.maximum(
+                accs[si], val)
+        xg = xg_next
+    outs = [a.reshape(tile, s, so // s).sum(axis=1) for a in accs]
+    o_ref[0] = jnp.concatenate(outs, axis=-1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("support_num", "interpret",
+                                    "vpu_theta"))
+def _linear_multi_pallas(nd_flat, dirs_stack, x_cat, w_stack, b_stack,
+                         idx, support_num: int, interpret: bool = False,
+                         vpu_theta: bool = True):
+    b, n, k = idx.shape
+    streams, _, so = dirs_stack.shape
+    cin = w_stack.shape[1]
+    m = x_cat.shape[1]
+    s = support_num
+    o = so // s
+    tile = min(256, _round_up(n, 8))
+    n_pad = _round_up(n, tile)
+    if n_pad != n:
+        idx = jnp.pad(idx, ((0, 0), (0, n_pad - n), (0, 0)))
+        nd_flat = jnp.pad(nd_flat, ((0, 0), (0, n_pad - n), (0, 0)))
+    dirs_bd = _block_diag_dirs(dirs_stack)            # [S*3, S*so]
+    out = pl.pallas_call(
+        functools.partial(_linear_multi_kernel, k=k, s=s, streams=streams,
+                          cin=cin, so=so, tile=tile, m=m,
+                          vpu_theta=vpu_theta),
+        grid=(b, n_pad // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, k), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, tile, k * streams * 3),
+                         lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, m, streams * cin), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((streams * 3, streams * so),
+                         lambda i, j: (0, 0)),
+            pl.BlockSpec((streams, cin, so), lambda i, j: (0, 0, 0)),
+            pl.BlockSpec((streams, so), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile, streams * o),
+                               lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, streams * o),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(idx, nd_flat.astype(jnp.bfloat16), x_cat.astype(jnp.bfloat16),
+      dirs_bd, w_stack.astype(jnp.bfloat16),
+      b_stack.astype(jnp.float32))
+    return out[:, :n]
+
+
+def _block_diag_dirs(dirs_stack):
+    """[S, 3, so] -> block-diagonal [S*3, S*so] bf16: theta for all S
+    streams of one neighbor slot becomes a single MXU dot."""
+    streams, _, so = dirs_stack.shape
+    eye = jnp.eye(streams, dtype=dirs_stack.dtype)
+    # [S,3,S,so]: eye[s,s'] * dirs[s] placed at block (s, s')
+    bd = eye[:, None, :, None] * dirs_stack[:, :, None, :]
+    return bd.reshape(streams * 3, streams * so).astype(jnp.bfloat16)
+
+
+def _linear_multi_tpu_impl(nds, dirs_list, xs, ws, bs, idx, support_num,
+                           interpret=None):
+    if interpret is None:  # compiled on TPU; interpret elsewhere (tests)
+        interpret = jax.default_backend() != "tpu"
+    streams = len(nds)
+    b, n, k, _ = nds[0].shape
+    # [B,N,K,S,3] -> [B,N,K*S*3]: flat layout the kernel slices by column.
+    nd_flat = jnp.stack([nd.astype(jnp.float32) for nd in nds],
+                        axis=3).reshape(b, n, k * streams * 3)
+    dirs_stack = jnp.stack(dirs_list)
+    x_cat = jnp.concatenate(xs, axis=-1)
+    w_stack = jnp.stack(ws)
+    b_stack = jnp.stack(bs)
+    out = _linear_multi_pallas(
+        nd_flat, dirs_stack, x_cat, w_stack, b_stack, idx, support_num,
+        interpret=interpret,
+        vpu_theta=os.environ.get("POSE_TPU_GCN_VPU_THETA", "1") == "1")
+    o = out.shape[-1] // streams
+    return [out[..., si * o:(si + 1) * o] for si in range(streams)]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _linear_multi_tpu(support_num, nds, dirs_list, xs, ws, bs, idx):
+    return _linear_multi_tpu_impl(nds, dirs_list, xs, ws, bs, idx,
+                                  support_num)
+
+
+def _linear_multi_fwd(support_num, nds, dirs_list, xs, ws, bs, idx):
+    out = _linear_multi_tpu(support_num, nds, dirs_list, xs, ws, bs, idx)
+    return out, (nds, dirs_list, xs, ws, bs, idx)
+
+
+def _linear_multi_bwd(support_num, res, g):
+    import numpy as np
+    nds, dirs_list, xs, ws, bs, idx = res
+    f = lambda a, b_, c, d, e: _linear_multi_xla(a, b_, c, d, e, idx,
+                                                 support_num)
+    grads = jax.vjp(f, nds, dirs_list, xs, ws, bs)[1](g)
+    return (*grads, np.zeros(idx.shape, dtype=jax.dtypes.float0))
+
+
+_linear_multi_tpu.defvjp(_linear_multi_fwd, _linear_multi_bwd)
+
+
+def gcn_aggregate_linear_multi(nds, dirs_list, xs, ws, bs, idx,
+                               support_num: int):
+    """Multi-stream ConvLayer aggregate with one shared neighbor gather:
+    out_si[b,n,o] = sum_s max_k relu(nd_si . dirs_si)[k,s,o] *
+    (X_si[nbr(n,k)] @ W_si + b_si)[s,o], for the streams si sharing one
+    KNN graph (fusion.py level 0 — reference fusion.py:175).
+
+    nds: list of [B,N,K,3]; dirs_list: list of [3,S*O] (pre-normalized);
+    xs: list of [B,M,Cin] (equal Cin); ws: list of [Cin,(S*O)];
+    bs: list of [S*O]; idx [B,N,K]. Returns a list of [B,N,O] float32.
+
+    On real TPU this runs the fused Pallas kernel (VMEM-resident table +
+    in-register one-hot; see the section comment); elsewhere, and for
+    gradients, the XLA formulation.
+    """
+    uniform = (len({x.shape[-1] for x in xs}) == 1
+               and len({w.shape[-1] for w in ws}) == 1)
+    if (uniform and jax.default_backend() == "tpu"
+            and os.environ.get("POSE_TPU_PALLAS_GCN", "1") != "0"):
+        return _linear_multi_tpu(support_num, list(nds), list(dirs_list),
+                                 list(xs), list(ws), list(bs), idx)
+    return _linear_multi_xla(nds, dirs_list, xs, ws, bs, idx, support_num)
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-stream theta-only aggregate (the 3 ConvSurfaces)
+# ---------------------------------------------------------------------------
+#
+# ConvSurface has NO feature gather — out = sum_s max_k relu(nd . dirs)
+# — yet the XLA k-loop still costs ~5 ms/stream at the level-0 shapes:
+# each slot materializes a [B,N,S*O] einsum output and round-trips the
+# max-accumulator through HBM, and the d=3 contraction wastes a 128-wide
+# MXU pass. The kernel keeps the whole chain in VMEM on the VPU
+# (3 broadcast-FMAs per slot per stream), writing only the final
+# [B,N,streams*O].
+
+
+def _surface_multi_xla(nds, dirs_list, support_num):
+    return [_fwd_xla(nd, dirs, None, None, support_num)
+            for nd, dirs in zip(nds, dirs_list)]
+
+
+def _surface_multi_kernel(nd_ref, dirs_ref, o_ref, *, k: int, s: int,
+                          streams: int, so: int, tile: int):
+    """nd_ref [1, tile, k*streams*3] bf16; dirs_ref [streams*3,
+    streams*so] block-diagonal (one MXU dot per slot covers all
+    streams — see _linear_multi_kernel); VPU does only relu + max."""
+    ndm = nd_ref[0]                                   # [tile, k*streams*3]
+    dirs_bd = dirs_ref[...]
+    s3 = streams * 3
+    acc = None
+    for kk in range(k):
+        theta = jnp.dot(ndm[:, kk * s3:(kk + 1) * s3], dirs_bd,
+                        preferred_element_type=jnp.float32)
+        theta = jnp.maximum(theta, 0.0)               # [tile, S*so]
+        acc = theta if acc is None else jnp.maximum(acc, theta)
+    outs = [acc[:, si * so:(si + 1) * so].reshape(tile, s, so // s)
+            .sum(axis=1) for si in range(streams)]
+    o_ref[0] = jnp.concatenate(outs, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("support_num", "interpret"))
+def _surface_multi_pallas(nd_flat, dirs_stack, support_num: int,
+                          interpret: bool = False):
+    b, n, flat = nd_flat.shape
+    streams, _, so = dirs_stack.shape
+    k = flat // (streams * 3)
+    s = support_num
+    o = so // s
+    tile = min(256, _round_up(n, 8))
+    n_pad = _round_up(n, tile)
+    if n_pad != n:
+        nd_flat = jnp.pad(nd_flat, ((0, 0), (0, n_pad - n), (0, 0)))
+    dirs_bd = _block_diag_dirs(dirs_stack)
+    out = pl.pallas_call(
+        functools.partial(_surface_multi_kernel, k=k, s=s,
+                          streams=streams, so=so, tile=tile),
+        grid=(b, n_pad // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, flat), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((streams * 3, streams * so),
+                         lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile, streams * o),
+                               lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, streams * o),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(nd_flat.astype(jnp.bfloat16), dirs_bd)
+    return out[:, :n]
+
+
+def _surface_multi_impl(nds, dirs_list, support_num, interpret=None):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    streams = len(nds)
+    b, n, k, _ = nds[0].shape
+    nd_flat = jnp.stack([nd.astype(jnp.float32) for nd in nds],
+                        axis=3).reshape(b, n, k * streams * 3)
+    dirs_stack = jnp.stack(dirs_list)
+    out = _surface_multi_pallas(nd_flat, dirs_stack, support_num,
+                                interpret=interpret)
+    o = out.shape[-1] // streams
+    return [out[..., si * o:(si + 1) * o] for si in range(streams)]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _surface_multi_tpu(support_num, nds, dirs_list):
+    return _surface_multi_impl(nds, dirs_list, support_num)
+
+
+def _surface_multi_fwd(support_num, nds, dirs_list):
+    return (_surface_multi_tpu(support_num, nds, dirs_list),
+            (nds, dirs_list))
+
+
+def _surface_multi_bwd(support_num, res, g):
+    nds, dirs_list = res
+    f = lambda a, b_: _surface_multi_xla(a, b_, support_num)
+    return jax.vjp(f, nds, dirs_list)[1](g)
+
+
+_surface_multi_tpu.defvjp(_surface_multi_fwd, _surface_multi_bwd)
+
+
+def gcn_surface_multi(nds, dirs_list, support_num: int):
+    """Multi-stream ConvSurface aggregate:
+    out_si[b,n,o] = sum_s max_k relu(<nd_si[b,n,k], dirs_si[:,s,o]>).
+
+    nds: list of [B,N,K,3] unit neighbor directions; dirs_list: list of
+    [3, S*O] normalized direction kernels. Returns list of [B,N,O] f32.
+    Fused Pallas on real TPU; XLA formulation elsewhere and for grads.
+    """
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("POSE_TPU_PALLAS_GCN", "1") != "0"):
+        return _surface_multi_tpu(support_num, list(nds), list(dirs_list))
+    return _surface_multi_xla(nds, dirs_list, support_num)
+
+
+# ---------------------------------------------------------------------------
 # Pallas kernel variant (flag-gated; see module docstring for measurements)
 # ---------------------------------------------------------------------------
 
