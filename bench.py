@@ -37,6 +37,13 @@ import os
 import sys
 import time
 
+# Silence XLA:CPU AOT-loader feature-mismatch spam: every persistent-
+# cache load warns because the AOT entry records LLVM tuning flags
+# (+prefer-no-gather/scatter) that never appear in host feature lists —
+# benign, but it buried the measurement log in driver artifacts
+# (ADVICE r4 #4). Python-side progress logs are unaffected.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -115,6 +115,48 @@ def gather_neighbors(features: jax.Array, index: jax.Array) -> jax.Array:
     )
 
 
+# Above this row count the one-hot matmul's flops overtake the
+# random-access gather penalty (same threshold as ops.pallas_gcn).
+_ONEHOT_GATHER_MAX_N = 2048
+
+
+def gather_rows(features: jax.Array, index: jax.Array) -> jax.Array:
+    """Gather rows of a per-batch feature table: [B, n, c], [B, m] ->
+    [B, m, c].
+
+    On TPU the gather is cast as `onehot(index) @ features` — a
+    streaming MXU matmul instead of random HBM access (~7x off peak
+    bandwidth); exact row selection, bit-identical values. Elsewhere a
+    plain take_along_axis.
+    """
+    n = features.shape[-2]
+    if jax.default_backend() == "tpu" and n <= _ONEHOT_GATHER_MAX_N:
+        iota = jnp.arange(n)
+        dtype = (features.dtype if features.dtype == jnp.bfloat16
+                 else jnp.float32)
+        onehot = (index[..., :, None] == iota).astype(dtype)
+        return jnp.einsum("...mn,...nc->...mc", onehot,
+                          features.astype(dtype)).astype(features.dtype)
+    return jnp.take_along_axis(features, index[..., None], axis=-2)
+
+
+def gather_neighbors_max(features: jax.Array,
+                         index: jax.Array) -> jax.Array:
+    """max_k features[index[..., m, k]]: the Pool_layer neighbor
+    max-pool ([..., n, c], [..., m, k] -> [..., m, c]) without ever
+    materializing the [..., m, k, c] gathered block — each neighbor
+    slot is one one-hot MXU matmul on TPU (see gather_rows)."""
+    n = features.shape[-2]
+    k = index.shape[-1]
+    if jax.default_backend() == "tpu" and n <= _ONEHOT_GATHER_MAX_N:
+        acc = None
+        for kk in range(k):
+            g = gather_rows(features, index[..., kk])
+            acc = g if acc is None else jnp.maximum(acc, g)
+        return acc
+    return jnp.max(gather_neighbors(features, index), axis=-2)
+
+
 def neighbor_directions(vertices: jax.Array, index: jax.Array,
                         eps: float = 1e-6) -> jax.Array:
     """Unit direction vectors from each point to its k neighbors.

@@ -160,10 +160,17 @@ class FusionNetLite(nn.Module):
         # distances are just the s2 columns of near_1's.
         d1 = po.pairwise_sqdist(_sg(vertices), _sg(pool_1[..., :3]))
         near_1 = jnp.argmin(d1, axis=-1).astype(jnp.int32)
-        d2 = jnp.take(d1, s2, axis=-1)
+        if jax.default_backend() == "tpu":
+            # batch-shared column subsample as one MXU matmul instead of
+            # a random-access lane gather (same trick as po.gather_rows)
+            sel = (s2[None, :] == jnp.arange(d1.shape[-1])[:, None]
+                   ).astype(d1.dtype)
+            d2 = d1 @ sel
+        else:
+            d2 = jnp.take(d1, s2, axis=-1)
         near_2 = jnp.argmin(d2, axis=-1).astype(jnp.int32)
 
-        up = lambda f, ni: jnp.take_along_axis(f, ni[..., None], axis=1)
+        up = lambda f, ni: po.gather_rows(f, ni)  # onehot MXU on TPU
         # NOTE: the reference gathers full-res feat_1 with pool-level
         # nearest indices (fusion.py:234) — indices into the first N/4 rows
         # of an N-row tensor, i.e. features of unrelated points. feat_1 is
@@ -225,7 +232,7 @@ class FusionNet(nn.Module):
 
         near_1 = po.nearest_index(_sg(vertices), _sg(pool_1[..., :3]))
         near_2 = po.nearest_index(_sg(vertices), _sg(pool_2[..., :3]))
-        up = lambda f, ni: jnp.take_along_axis(f, ni[..., None], axis=1)
+        up = lambda f, ni: po.gather_rows(f, ni)  # onehot MXU on TPU
         # feat_1 used at full resolution directly (see FusionNetLite note).
         return jnp.concatenate(
             [up(fm_5, near_2), feat_1, up(feat_2, near_1)], -1)

@@ -145,7 +145,7 @@ class PoolLayer(nn.Module):
         v_s = jnp.take(vertices, sample, axis=-2)
         idx = po.knn_indices_cross(v_s[..., :3], vertices[..., :3],
                                    self.neighbor_num, exclude_self=True)
-        pooled = jnp.max(po.gather_neighbors(feature_map, idx), axis=-2)
+        pooled = po.gather_neighbors_max(feature_map, idx)
         if self.return_sample:
             return v_s, pooled, sample
         return v_s, pooled

@@ -24,9 +24,14 @@ the (s+1)*O transform applied post-gather: identical math at 161 vs
 600 GFLOP (gcn_aggregate_linear; ConvLayer picks it when Cin < S*O).
 Peak intermediate is one [B,N,S*O] slab (59 MB), never [B,N,K,S*O].
 
-The Pallas kernel variants are retained behind POSE_TPU_PALLAS_GCN=1 for
-future Mosaic gather support; bf16 throughout (feature math, not solver
-geometry — no HIGHEST precision).
+Round 5: the fused multi-stream Pallas kernels (gcn_aggregate_linear_multi,
+gcn_surface_multi — see their section comments) moved the whole
+k-slot chain into VMEM: level-0 hot aggregates 8.35 -> 4.48 ms, the 3
+ConvSurfaces 2.72 -> 2.51 ms (device-loop, reps=30). They are the default
+on real TPU; POSE_TPU_PALLAS_GCN=0 restores the XLA formulations, and
+POSE_TPU_PALLAS_GCN_LEGACY=1 selects the r2-era per-stream kernel kept
+for comparison. bf16 throughout (feature math, not solver geometry — no
+HIGHEST precision).
 """
 
 from __future__ import annotations
@@ -57,7 +62,7 @@ def gcn_aggregate(nd, dirs, feats, idx, support_num: int):
     into feats' second axis.
     """
     if (jax.default_backend() == "tpu"
-            and os.environ.get("POSE_TPU_PALLAS_GCN") == "1"):
+            and os.environ.get("POSE_TPU_PALLAS_GCN_LEGACY") == "1"):
         fg = (None if feats is None else jnp.take_along_axis(
             feats[:, :, None, :], idx[..., None], axis=1))
         return _gcn_aggregate_fwd_pallas(nd, dirs, fg, support_num)

@@ -122,6 +122,23 @@ class TestSurfaceMulti:
             assert np.isfinite(np.asarray(a)).all()
 
 
+class TestOnehotGathers:
+
+    def test_gather_rows_matches_take(self, rng):
+        f = jnp.asarray(rng.randn(2, 50, 7).astype(np.float32))
+        i = jnp.asarray(rng.randint(0, 50, (2, 30)).astype(np.int32))
+        got = po.gather_rows(f, i)
+        ref = jnp.take_along_axis(f, i[..., None], axis=-2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
+
+    def test_gather_neighbors_max_matches(self, rng):
+        f = jnp.asarray(rng.randn(2, 40, 9).astype(np.float32))
+        i = jnp.asarray(rng.randint(0, 40, (2, 10, 4)).astype(np.int32))
+        got = po.gather_neighbors_max(f, i)
+        ref = jnp.max(po.gather_neighbors(f, i), axis=-2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
+
+
 class TestFusedLevel0:
 
     def test_matches_per_stream_level0_and_param_tree(self, rng):
