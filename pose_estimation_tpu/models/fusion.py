@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from pose_estimation_tpu.core import pointops as po
-from pose_estimation_tpu.models.gcn3d import (ConvLayer, ConvSurface, MultiConvLayer, PoolLayer)
+from pose_estimation_tpu.models.gcn3d import (ConvLayer, ConvSurface, PoolLayer)
 from pose_estimation_tpu.models.layers import Norm
 
 

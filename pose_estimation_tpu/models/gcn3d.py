@@ -149,45 +149,3 @@ class PoolLayer(nn.Module):
         if self.return_sample:
             return v_s, pooled, sample
         return v_s, pooled
-
-
-class MultiConvLayer(nn.Module):
-    """N parallel ConvLayers sharing one neighbor index — the fusion
-    networks run 3 modality streams over the SAME KNN graph per level
-    (fusion.py:175,205), so their neighbor gathers are batched into one
-    one-hot MXU matmul on concatenated feature tables
-    (ops.pallas_gcn.gcn_aggregate_multi)."""
-
-    out_channel: int
-    support_num: int
-    streams: int = 3
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, neighbor_index, vertices_list, feature_list):
-        s, o = self.support_num, self.out_channel
-        outs_center = []
-        feats = []
-        nds = []
-        dirs_list = []
-        for si in range(self.streams):
-            in_ch = feature_list[si].shape[-1]
-            stdv = 1.0 / (o * (s + 1)) ** 0.5
-            init = lambda k, shape: jax.random.uniform(
-                k, shape, minval=-stdv, maxval=stdv)
-            weights = self.param(f"weights_{si}", init, (in_ch, (s + 1) * o))
-            bias = self.param(f"bias_{si}", init, ((s + 1) * o,))
-            directions = self.param(f"directions_{si}", init, (3, s * o))
-            from pose_estimation_tpu.core.mathsafe import safe_normalize
-            dirs = safe_normalize(directions, axis=0, eps=1e-12)
-            feat = (feature_list[si].astype(self.dtype)
-                    @ weights.astype(self.dtype) + bias.astype(self.dtype))
-            outs_center.append(feat[..., :o])
-            feats.append(feat[..., o:])
-            nds.append(_unit_directions(vertices_list[si], neighbor_index))
-            dirs_list.append(dirs)
-        from pose_estimation_tpu.ops.pallas_gcn import gcn_aggregate_multi
-        aggs = gcn_aggregate_multi(nds, dirs_list, feats, neighbor_index,
-                                   s)
-        return [c + a.astype(self.dtype)
-                for c, a in zip(outs_center, aggs)]

@@ -640,61 +640,3 @@ def _gcn_aggregate_fwd_pallas(nd, dirs, fg, support_num: int,
         interpret=interpret,
     )(*args)
     return out[:, :n]
-
-
-def gcn_aggregate_multi(nds, dirs_list, feats_list, idx, support_num: int):
-    """Multi-stream aggregation with a SHARED neighbor index: the 3 fusion
-    streams (fusion.py uses one KNN graph per level, fusion.py:175) gather
-    their support features with ONE one-hot matmul per neighbor slot on the
-    concatenated feature tables, instead of 3 separate gathers — same
-    flops, one big MXU op and one mask build instead of three.
-
-    nds: list of [B,N,K,D] per-stream unit directions; dirs_list: list of
-    [D, S*O]; feats_list: list of [B,M,S*O] (or None entries -> theta-only).
-    Returns list of [B,N,O] outputs.
-    """
-    n_streams = len(nds)
-    gathered = [None] * n_streams
-    dense_ids = [i for i, f in enumerate(feats_list) if f is not None]
-    b, n, k, _ = nds[0].shape
-    s = support_num
-
-    dtype = (feats_list[dense_ids[0]].dtype if dense_ids else jnp.bfloat16)
-    use_onehot = (dense_ids
-                  and feats_list[dense_ids[0]].shape[1] <= _ONEHOT_MAX_N
-                  and jax.default_backend() == "tpu")
-
-    accs = [None] * n_streams
-    if dense_ids:
-        cat = jnp.concatenate([feats_list[i] for i in dense_ids], axis=-1)
-        widths = [feats_list[i].shape[-1] for i in dense_ids]
-        offsets = [sum(widths[:j]) for j in range(len(widths))]
-        iota = jnp.arange(cat.shape[1])
-
-    for kk in range(k):
-        if dense_ids:
-            if use_onehot:
-                onehot = (idx[:, :, kk, None] == iota[None, None, :]
-                          ).astype(dtype)
-                fg_cat = jnp.einsum("bnm,bmc->bnc", onehot, cat)
-            else:
-                fg_cat = jnp.take_along_axis(cat, idx[:, :, kk:kk + 1],
-                                             axis=1)
-        for si in range(n_streams):
-            nd = nds[si].astype(dtype)
-            dirs = dirs_list[si].astype(dtype)
-            theta = jax.nn.relu(
-                jnp.einsum("bnd,dm->bnm", nd[:, :, kk], dirs))
-            if feats_list[si] is not None:
-                j = dense_ids.index(si)
-                fg = fg_cat[..., offsets[j]:offsets[j] + widths[j]]
-                theta = theta * fg
-            accs[si] = theta if accs[si] is None else jnp.maximum(
-                accs[si], theta)
-
-    outs = []
-    for si in range(n_streams):
-        so = dirs_list[si].shape[-1]
-        outs.append(accs[si].reshape(b, n, s, so // s).sum(axis=2)
-                    .astype(jnp.float32))
-    return outs
