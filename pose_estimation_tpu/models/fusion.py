@@ -56,18 +56,24 @@ class _Stream(nn.Module):
         return nn.relu(self.norm2(self.conv2(idx, pts, feat), train))
 
 
-def _fused_convs(convs, idx, pts_list, feat_list, support_num):
+def _fused_convs(convs, idx, pts_list, feat_list, support_num,
+                 train=False):
     """Run N narrow ConvLayers sharing one KNN graph through the
     shared-gather fused aggregate (ops.pallas_gcn.
     gcn_aggregate_linear_multi). Identical math and identical param
-    tree to calling each ConvLayer directly."""
+    tree to calling each ConvLayer directly.
+
+    Training steps prefer the XLA formulation: its fwd+bwd live in one
+    XLA graph that shares intermediates, whereas the Pallas kernel's
+    custom_vjp backward re-runs the XLA forward from scratch — kernel
+    fwd is an eval-path win only."""
     from pose_estimation_tpu.ops.pallas_gcn import (
         gcn_aggregate_linear_multi)
     parts = [c(idx, p, f, parts=True)
              for c, p, f in zip(convs, pts_list, feat_list)]
     centers, dirs_l, nds, xs, ws, bs = map(list, zip(*parts))
     aggs = gcn_aggregate_linear_multi(nds, dirs_l, xs, ws, bs, idx,
-                                      support_num)
+                                      support_num, prefer_xla=train)
     return [c + a.astype(c.dtype) for c, a in zip(centers, aggs)]
 
 
@@ -82,9 +88,9 @@ def _fused_level0(streams, idx, pts_list, support_num, dtype, train):
             for st, p in zip(streams, pts_list)]
     dirs0, nds0 = map(list, zip(*surf))
     f0s = [nn.relu(a.astype(dtype)) for a in
-           gcn_surface_multi(nds0, dirs0, support_num)]
+           gcn_surface_multi(nds0, dirs0, support_num, prefer_xla=train)]
     ys = _fused_convs([st.conv1 for st in streams], idx, pts_list, f0s,
-                      support_num)
+                      support_num, train)
     return [nn.relu(st.norm1(y, train))
             for st, y in zip(streams, ys)]
 
@@ -92,7 +98,7 @@ def _fused_level0(streams, idx, pts_list, support_num, dtype, train):
 def _fused_level1(streams, idx1, pts_list, feat_list, support_num, train):
     """Level-1: the 3 conv2 layers share idx1's gather the same way."""
     ys = _fused_convs([st.conv2 for st in streams], idx1, pts_list,
-                      feat_list, support_num)
+                      feat_list, support_num, train)
     return [nn.relu(st.norm2(y, train))
             for st, y in zip(streams, ys)]
 
@@ -218,7 +224,7 @@ class FusionNet(nn.Module):
                             train)
         norm3 = [Norm(self.norm, dtype=self.dtype) for _ in range(3)]
         fm3_y = _fused_convs(extra, idx1, [pt for pt, _ in pooled], fm2,
-                             self.support_num)
+                             self.support_num, train)
         fm3 = [nn.relu(nm(y, train)) for nm, y in zip(norm3, fm3_y)]
         feat_2 = jnp.concatenate(fm3, -1)  # [B, N/4, 768]
 

@@ -420,7 +420,8 @@ _linear_multi_tpu.defvjp(_linear_multi_fwd, _linear_multi_bwd)
 
 
 def gcn_aggregate_linear_multi(nds, dirs_list, xs, ws, bs, idx,
-                               support_num: int):
+                               support_num: int,
+                               prefer_xla: bool = False):
     """Multi-stream ConvLayer aggregate with one shared neighbor gather:
     out_si[b,n,o] = sum_s max_k relu(nd_si . dirs_si)[k,s,o] *
     (X_si[nbr(n,k)] @ W_si + b_si)[s,o], for the streams si sharing one
@@ -436,7 +437,7 @@ def gcn_aggregate_linear_multi(nds, dirs_list, xs, ws, bs, idx,
     """
     uniform = (len({x.shape[-1] for x in xs}) == 1
                and len({w.shape[-1] for w in ws}) == 1)
-    if (uniform and jax.default_backend() == "tpu"
+    if (uniform and not prefer_xla and jax.default_backend() == "tpu"
             and os.environ.get("POSE_TPU_PALLAS_GCN", "1") != "0"):
         return _linear_multi_tpu(support_num, list(nds), list(dirs_list),
                                  list(xs), list(ws), list(bs), idx)
@@ -561,7 +562,8 @@ def _surface_multi_bwd(support_num, res, g):
 _surface_multi_tpu.defvjp(_surface_multi_fwd, _surface_multi_bwd)
 
 
-def gcn_surface_multi(nds, dirs_list, support_num: int):
+def gcn_surface_multi(nds, dirs_list, support_num: int,
+                      prefer_xla: bool = False):
     """Multi-stream ConvSurface aggregate:
     out_si[b,n,o] = sum_s max_k relu(<nd_si[b,n,k], dirs_si[:,s,o]>).
 
@@ -569,7 +571,7 @@ def gcn_surface_multi(nds, dirs_list, support_num: int):
     [3, S*O] normalized direction kernels. Returns list of [B,N,O] f32.
     Fused Pallas on real TPU; XLA formulation elsewhere and for grads.
     """
-    if (jax.default_backend() == "tpu"
+    if (not prefer_xla and jax.default_backend() == "tpu"
             and os.environ.get("POSE_TPU_PALLAS_GCN", "1") != "0"):
         return _surface_multi_tpu(support_num, list(nds), list(dirs_list))
     return _surface_multi_xla(nds, dirs_list, support_num)
