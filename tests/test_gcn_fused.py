@@ -122,6 +122,50 @@ class TestSurfaceMulti:
             assert np.isfinite(np.asarray(a)).all()
 
 
+class TestShardedKernel:
+    """The custom_partitioning rule: batch sharding must pass THROUGH
+    the pallas_call (per-shard lowering), not force an all-gather +
+    replicated compute."""
+
+    def test_data_sharded_jit_no_allgather(self, rng):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+        sh = NamedSharding(mesh, P("data"))
+        nds, dirs_l, xs, ws, bs, idx, s = _mk(rng, b=8, n=64, m=64, k=3)
+        nds_s = [jax.device_put(x, sh) for x in nds]
+        xs_s = [jax.device_put(x, sh) for x in xs]
+        idx_s = jax.device_put(idx, sh)
+
+        f = jax.jit(lambda *a: pg._linear_multi_tpu_impl(
+            list(a[:3]), dirs_l, list(a[3:6]), ws, bs, a[6], s,
+            interpret=True))
+        out = f(*nds_s, *xs_s, idx_s)
+        # sharding passed through
+        assert out[0].sharding.spec == P("data")
+        hlo = f.lower(*nds_s, *xs_s, idx_s).compile().as_text()
+        assert hlo.count("all-gather") == 0, "kernel forced an all-gather"
+        # and per-value identical to the unsharded kernel
+        plain = pg._linear_multi_tpu_impl(nds, dirs_l, xs, ws, bs, idx,
+                                          s, interpret=True)
+        for a, b_ in zip(out, plain):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    def test_surface_sharded(self, rng):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+        sh = NamedSharding(mesh, P("data"))
+        nds, dirs_l, _, _, _, _, s = _mk(rng, b=8, n=64, m=64, k=3)
+        nds_s = [jax.device_put(x, sh) for x in nds]
+        g = jax.jit(lambda *a: pg._surface_multi_impl(
+            list(a), dirs_l, s, interpret=True))
+        out = g(*nds_s)
+        assert out[0].sharding.spec == P("data")
+        hlo = g.lower(*nds_s).compile().as_text()
+        assert hlo.count("all-gather") == 0
+
+
 class TestOnehotGathers:
 
     def test_gather_rows_matches_take(self, rng):
