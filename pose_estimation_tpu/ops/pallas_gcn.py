@@ -449,12 +449,16 @@ def gcn_aggregate_linear_multi(nds, dirs_list, xs, ws, bs, idx,
 # ---------------------------------------------------------------------------
 #
 # ConvSurface has NO feature gather — out = sum_s max_k relu(nd . dirs)
-# — yet the XLA k-loop still costs ~5 ms/stream at the level-0 shapes:
-# each slot materializes a [B,N,S*O] einsum output and round-trips the
-# max-accumulator through HBM, and the d=3 contraction wastes a 128-wide
-# MXU pass. The kernel keeps the whole chain in VMEM on the VPU
-# (3 broadcast-FMAs per slot per stream), writing only the final
-# [B,N,streams*O].
+# — yet the XLA k-loop still pays per-slot [B,N,S*O] einsum outputs and
+# the max-accumulator round-trip through HBM. The kernel keeps the whole
+# chain in VMEM: per slot, ONE block-diagonal MXU dot produces theta for
+# all streams at once (the 9-wide contraction pads to 128 regardless, so
+# the cross-stream zeros are free and the VPU is left with only
+# relu + max), writing only the final [B,N,streams*O]. Measured faster
+# than the VPU broadcast-FMA formulation here (3.84 vs 4.75 ms at
+# reps=10) because no other MXU work competes in this kernel — the
+# opposite trade from _linear_multi_kernel, whose MXU is busy with the
+# gather and support dots.
 
 
 def _surface_multi_xla(nds, dirs_list, support_num):

@@ -145,6 +145,22 @@ def main(only: str = ""):
     if want("ops"): device_time(lambda v: po.nearest_index(v, v[:, :256]), (verts,),
                 name="nearest_index 1024<-256")
     if want("ops"):
+        # r5 fused kernels vs the XLA formulations at the level-0 shapes
+        from pose_estimation_tpu.ops import pallas_gcn as pg
+        k3 = jax.random.split(key, 3)
+        nds3 = [nd, nd * 0.5, nd * 0.25]
+        dirs3 = [jax.random.normal(kk, (3, so), jnp.float32) for kk in k3]
+        xs3 = [jax.random.normal(kk, (bs, n, 128), dtype) for kk in k3]
+        ws3 = [jax.random.normal(kk, (128, so), dtype) * 0.1 for kk in k3]
+        bs3 = [jax.random.normal(kk, (so,), dtype) * 0.1 for kk in k3]
+        device_time(lambda *a: pg._linear_multi_tpu_impl(
+            list(a[:3]), dirs3, list(a[3:]), ws3, bs3, idx, 7),
+            (*nds3, *xs3), reps=30, name="linear_multi fused kernel lvl0")
+        device_time(lambda *a: pg._linear_multi_xla(
+            list(a[:3]), dirs3, list(a[3:]), ws3, bs3, idx, 7),
+            (*nds3, *xs3), reps=30, name="linear_multi XLA lvl0")
+        device_time(lambda *a: pg._surface_multi_impl(list(a), dirs3, 7),
+                    (*nds3,), reps=30, name="surface_multi fused kernel")
         device_time(lambda n_: gcn_aggregate(n_, dirs, None, idx, 7),
                     (nd,), name="gcn_aggregate theta-only (ConvSurface)")
         from pose_estimation_tpu.models.gcn3d import PoolLayer
